@@ -1,0 +1,198 @@
+"""Time-conditioned U-Net epsilon-predictor (NHWC, Flax linen).
+
+TPU-native redesign of ``src/model/unet_backbone.py:68-240``, reproducing the
+reference's exact (nonstandard) topology so parameter counts and behavior
+match:
+
+- encoder: per level ``num_res_blocks`` ResBlocks (attention appended after
+  each ResBlock when the level's resolution is in ``attn_resolutions``);
+  **one skip saved per level** (after its blocks, before downsample —
+  ``unet_backbone.py:119,185`` — not per-block like Ho's U-Net); stride-2
+  conv downsample between levels (none after the last).
+- bottleneck: Res → (Attn if bottleneck res in set) → Res.
+- decoder: per reversed level, Upsample first (skipped at level 0), nearest
+  resize on spatial mismatch, concat skip, one concat-ResBlock
+  (cur+skip → out) then ``num_res_blocks`` more.  **No attention in the
+  decoder** (parity with ``unet_backbone.py:147-153``).
+- head: GN → SiLU → 3x3 conv to ``in_channels``.
+
+Instead of the reference's isinstance-dispatched ModuleLists the whole level
+plan is computed once in ``UNetConfig.level_plan`` and consumed by both the
+encoder and decoder — the single-source-of-truth fix SURVEY.md §7 calls for.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from .blocks import AttnBlock, Downsample, ResBlock, Upsample, group_norm
+from .embeddings import TimeMLP, sinusoidal_time_embedding
+
+__all__ = ["UNetConfig", "UNetDenoiser", "unet_64x64_config", "unet_64x64_low_config",
+           "unet_256x256_config", "count_params"]
+
+
+@dataclasses.dataclass(frozen=True)
+class UNetConfig:
+    """All architecture knobs of the reference U-Net
+    (``unet_backbone.py:78-88`` ctor args), promoted to a typed config."""
+
+    in_channels: int = 3
+    base_channels: int = 128
+    channel_mults: Tuple[int, ...] = (1, 2, 2, 2)
+    num_res_blocks: int = 2
+    attn_resolutions: Tuple[int, ...] = (16, 8)
+    time_embed_dim: int = 512
+    dropout: float = 0.0
+    num_heads: int = 4
+    head_dim: int = 64
+    img_resolution: int = 64
+
+    def level_plan(self):
+        """Per-level (resolution, out_ch, attn?) for the encoder, plus the
+        bottleneck resolution.  Resolution halves after every non-final
+        level, exactly like ``unet_backbone.py:105-128``."""
+        levels = []
+        res = self.img_resolution
+        for i, mult in enumerate(self.channel_mults):
+            is_last = i == len(self.channel_mults) - 1
+            levels.append(
+                dict(
+                    resolution=res,
+                    out_ch=self.base_channels * mult,
+                    use_attn=res in set(self.attn_resolutions),
+                    downsample=not is_last,
+                )
+            )
+            if not is_last:
+                res //= 2
+        return levels, res  # (levels, bottleneck_resolution)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "UNetConfig":
+        d = dict(d)
+        d["channel_mults"] = tuple(d["channel_mults"])
+        d["attn_resolutions"] = tuple(d["attn_resolutions"])
+        return cls(**d)
+
+
+class UNetDenoiser(nn.Module):
+    """epsilon-hat = UNet(x_t, t); x NHWC in [-1, 1], t (B,) int/float."""
+
+    config: UNetConfig
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+    attn_impl: str = "auto"
+    remat: bool = False  # rematerialize ResBlocks — the TPU replacement for
+    #                      the reference's OOM-skip (SURVEY.md §7: static
+    #                      memory planning + optional remat for 256px)
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+        cfg = self.config
+        levels, bottleneck_res = cfg.level_plan()
+        Res = nn.remat(ResBlock) if self.remat else ResBlock
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        res_kw = dict(dropout=cfg.dropout, deterministic=deterministic, **kw)
+        attn_kw = dict(
+            num_heads=cfg.num_heads, head_dim=cfg.head_dim,
+            attn_impl=self.attn_impl, **kw,
+        )
+
+        # time embedding (fp32 trig, then model-dtype MLP outputs fp32 bias base)
+        t_emb = sinusoidal_time_embedding(t, cfg.time_embed_dim)
+        t_emb = TimeMLP(cfg.time_embed_dim, dtype=jnp.float32,
+                        param_dtype=self.param_dtype, name="time_mlp")(t_emb)
+
+        in_dtype = x.dtype
+        cur = nn.Conv(cfg.base_channels, (3, 3), padding="SAME", name="in_conv",
+                      **kw)(x.astype(self.dtype))
+
+        # ---- encoder ----
+        skips = []
+        for li, level in enumerate(levels):
+            for bi in range(cfg.num_res_blocks):
+                cur = Res(level["out_ch"], name=f"down{li}_res{bi}", **res_kw)(
+                    cur, t_emb)
+                if level["use_attn"]:
+                    cur = AttnBlock(name=f"down{li}_attn{bi}", **attn_kw)(cur)
+            skips.append(cur)  # one skip per level, pre-downsample
+            if level["downsample"]:
+                cur = Downsample(level["out_ch"], name=f"down{li}_down", **kw)(cur)
+
+        # ---- bottleneck ----
+        mid_ch = levels[-1]["out_ch"]
+        cur = Res(mid_ch, name="mid_res0", **res_kw)(cur, t_emb)
+        if bottleneck_res in set(cfg.attn_resolutions):
+            cur = AttnBlock(name="mid_attn", **attn_kw)(cur)
+        cur = Res(mid_ch, name="mid_res1", **res_kw)(cur, t_emb)
+
+        # ---- decoder (reversed levels; no attention — parity) ----
+        for li, level in enumerate(reversed(levels)):
+            if li > 0:
+                cur = Upsample(cur.shape[-1], name=f"up{li}_up", **kw)(cur)
+            skip = skips.pop()
+            if cur.shape[1:3] != skip.shape[1:3]:
+                cur = jax.image.resize(
+                    cur, (cur.shape[0], *skip.shape[1:3], cur.shape[-1]),
+                    method="nearest")
+            cur = jnp.concatenate([cur, skip.astype(cur.dtype)], axis=-1)
+            out_ch = level["out_ch"]
+            cur = Res(out_ch, name=f"up{li}_res0", **res_kw)(cur, t_emb)
+            for bi in range(cfg.num_res_blocks):
+                cur = Res(out_ch, name=f"up{li}_res{bi + 1}", **res_kw)(
+                    cur, t_emb)
+
+        # ---- head ----
+        cur = group_norm(cur.shape[-1], name="out_norm")(cur)
+        cur = nn.silu(cur).astype(self.dtype)
+        out = nn.Conv(cfg.in_channels, (3, 3), padding="SAME", name="out_conv",
+                      dtype=jnp.float32, param_dtype=self.param_dtype)(cur)
+        return out.astype(in_dtype)
+
+
+def unet_64x64_config(**overrides) -> UNetConfig:
+    """Defaults of ``build_unet_64x64`` (``unet_backbone.py:219-240``)."""
+    base = dict(
+        in_channels=3, base_channels=128, channel_mults=(1, 2, 2, 2),
+        num_res_blocks=2, attn_resolutions=(16, 8), time_embed_dim=512,
+        dropout=0.1, num_heads=4, head_dim=64, img_resolution=64,
+    )
+    base.update(overrides)
+    return UNetConfig(**base)
+
+
+def unet_64x64_low_config(**overrides) -> UNetConfig:
+    """The "low-GPU" notebook config (BASELINE.md row 1): base 96, one
+    resblock, attention only at 8x8 with 2 heads x 32."""
+    base = dict(
+        in_channels=3, base_channels=96, channel_mults=(1, 2, 2, 2),
+        num_res_blocks=1, attn_resolutions=(8,), time_embed_dim=384,
+        dropout=0.0, num_heads=2, head_dim=32, img_resolution=64,
+    )
+    base.update(overrides)
+    return UNetConfig(**base)
+
+
+def unet_256x256_config(**overrides) -> UNetConfig:
+    """The CelebA-HQ-256 notebook config (SURVEY.md §2.2 row "256x256"):
+    mults (1,1,2,2,4), attention at 16x16 only."""
+    base = dict(
+        in_channels=3, base_channels=128, channel_mults=(1, 1, 2, 2, 4),
+        num_res_blocks=2, attn_resolutions=(16,), time_embed_dim=512,
+        dropout=0.0, num_heads=4, head_dim=64, img_resolution=256,
+    )
+    base.update(overrides)
+    return UNetConfig(**base)
+
+
+def count_params(params) -> int:
+    return sum(int(p.size) for p in jax.tree.leaves(params))

@@ -1,0 +1,17 @@
+from .schedules import (  # noqa: F401
+    DiffusionConfig,
+    DiffusionSchedule,
+    beta_schedule_cosine,
+    beta_schedule_linear,
+    extract,
+    make_schedule,
+)
+from .diffusion import (  # noqa: F401
+    ddim_step,
+    loss_simple,
+    p_sample_step,
+    posterior_mean_variance,
+    predict_x0,
+    q_sample,
+    sample_timesteps,
+)

@@ -1,0 +1,10 @@
+from .timesteps import build_ddim_schedule, ddpm_timesteps  # noqa: F401
+from .loops import ddim_sample_loop, ddpm_sample_loop, to_unit_interval  # noqa: F401
+from .inference import (  # noqa: F401
+    ddim_infer_sample,
+    ddim_sample,
+    ddpm_infer_sample,
+    ddpm_sample,
+    render_denoise_strip,
+    render_denoise_strip_ddim,
+)

@@ -1,0 +1,263 @@
+"""User-facing inference API: sample grids, per-image saves, denoise strips.
+
+Capability parity with the reference's ``src/testing/ddpm_inference.py`` and
+``src/testing/ddpim_inference.py`` plus the in-training samplers
+(``training_utils.py:7-29,54-100``) — redesigned for JAX:
+
+- the reference's EMA weight-swap dance (state-dict backup -> ``ema.copy_to``
+  -> sample -> restore, ``ddpm_inference.py:26-28,54-56``) dissolves: params
+  are just a pytree argument, so pass ``ema_params`` to sample with EMA.
+- eval/train mode juggling disappears (samplers always run the model
+  deterministically).
+- the T-step Python loops are single compiled scans (see ``loops.py``); the
+  jit cache is keyed on (model, ladder, capture set), so repeated calls
+  with new params/seeds reuse the compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.unet import UNetDenoiser
+from ..ops.schedules import DiffusionSchedule
+from ..utils.images import make_grid, save_image, save_image_grid
+from .loops import ddim_sample_loop, ddpm_sample_loop, to_unit_interval
+from .timesteps import build_ddim_schedule
+
+__all__ = [
+    "ddpm_sample",
+    "ddim_sample",
+    "ddpm_infer_sample",
+    "ddim_infer_sample",
+    "render_denoise_strip",
+    "render_denoise_strip_ddim",
+]
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "shape", "num_steps", "capture_steps")
+)
+def _ddpm_jit(model, params, sched, key, shape, num_steps, capture_steps):
+    k_init, k_loop = jax.random.split(key)
+    x = jax.random.normal(k_init, shape, dtype=jnp.float32)
+    eps_fn = lambda xt, t: model.apply(params, xt, t)
+    return ddpm_sample_loop(
+        sched, eps_fn, x, k_loop, num_steps=num_steps, capture_steps=capture_steps
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("model", "shape", "timesteps", "capture_steps")
+)
+def _ddim_jit(model, params, sched, key, shape, timesteps, eta, capture_steps):
+    k_init, k_loop = jax.random.split(key)
+    x = jax.random.normal(k_init, shape, dtype=jnp.float32)
+    eps_fn = lambda xt, t: model.apply(params, xt, t)
+    return ddim_sample_loop(
+        sched, eps_fn, x, k_loop,
+        timesteps=np.asarray(timesteps, dtype=np.int32),
+        eta=eta, clip_x0=True, capture_steps=capture_steps,
+    )
+
+
+def ddpm_sample(
+    model: UNetDenoiser,
+    params,
+    sched: DiffusionSchedule,
+    n: int,
+    img_size: int = 64,
+    *,
+    steps: Optional[int] = None,
+    seed: int = 1234,
+    save_path: Optional[str] = None,
+    return_grid: bool = True,
+):
+    """In-training DDPM grid sampler (parity: ``training_utils.py:7-29``)."""
+    key = jax.random.key(seed)
+    x, _ = _ddpm_jit(
+        model, params, sched, key,
+        (n, img_size, img_size, model.config.in_channels), steps, None,
+    )
+    x01 = np.asarray(to_unit_interval(x))
+    grid = make_grid(x01, nrow=int(n**0.5))
+    if save_path is not None:
+        save_image(grid, save_path)
+    return grid if return_grid else x01
+
+
+def ddim_sample(
+    model: UNetDenoiser,
+    params,
+    sched: DiffusionSchedule,
+    *,
+    n: int = 16,
+    img_size: int = 256,
+    ema_params=None,
+    save_path: Optional[str] = None,
+    seed: int = 1234,
+    steps: int = 50,
+    eta: float = 0.0,
+    schedule: str = "karras",  # "linear" | "cosine" | "karras" | "alpha_bar_cosine"
+):
+    """In-training DDIM sampler with the karras/cosine ladders
+    (parity: ``training_utils.py:54-100``)."""
+    p = ema_params if ema_params is not None else params
+    ts = build_ddim_schedule(
+        schedule, steps, sched.T, alphas_cumprod=np.asarray(sched.alphas_cumprod)
+    )
+    x, _ = _ddim_jit(
+        model, p, sched, jax.random.key(seed),
+        (n, img_size, img_size, model.config.in_channels),
+        tuple(int(t) for t in ts), eta, None,
+    )
+    x01 = np.asarray(to_unit_interval(x))
+    if save_path:
+        save_image_grid(x01, save_path, nrow=int(n**0.5))
+    return x01
+
+
+def _save_outputs(x01: np.ndarray, out_path: str, save_individual: bool, out_dir: str):
+    n = x01.shape[0]
+    r = int(math.sqrt(n))
+    nrow = r if r * r == n else math.ceil(math.sqrt(n))
+    grid = make_grid(x01, nrow=nrow)
+    save_image(grid, out_path)
+    if save_individual:
+        os.makedirs(out_dir, exist_ok=True)
+        for i in range(n):
+            save_image(x01[i], os.path.join(out_dir, f"img_{i:03d}.png"))
+    return grid
+
+
+def ddpm_infer_sample(
+    model: UNetDenoiser,
+    params,
+    sched: DiffusionSchedule,
+    n: int = 36,
+    img_size: int = 64,
+    *,
+    ema_params=None,
+    out_path: str = "samples_ddpm.png",
+    save_individual: bool = False,
+    out_dir: str = "samples_individual",
+    seed: Optional[int] = 1234,
+):
+    """Full-T ancestral grid inference (parity: ``ddpm_inference.py:6-58``)."""
+    p = ema_params if ema_params is not None else params
+    key = jax.random.key(0 if seed is None else seed)
+    x, _ = _ddpm_jit(
+        model, p, sched, key,
+        (n, img_size, img_size, model.config.in_channels), None, None,
+    )
+    x01 = np.asarray(to_unit_interval(x))
+    return _save_outputs(x01, out_path, save_individual, out_dir)
+
+
+def ddim_infer_sample(
+    model: UNetDenoiser,
+    params,
+    sched: DiffusionSchedule,
+    n: int = 36,
+    img_size: int = 64,
+    *,
+    ema_params=None,
+    out_path: str = "samples_ddim.png",
+    save_individual: bool = False,
+    out_dir: str = "samples_individual",
+    seed: Optional[int] = 1234,
+    steps: int = 50,
+    eta: float = 0.0,
+    schedule_kind: str = "t_linear",  # "t_linear" | "alpha_bar_cosine"
+    schedule_idx: Optional[Sequence[int]] = None,
+):
+    """Sub-sampled DDIM grid inference (parity: ``ddpim_inference.py:7-104``)."""
+    p = ema_params if ema_params is not None else params
+    ts = build_ddim_schedule(
+        schedule_kind, steps, sched.T,
+        alphas_cumprod=np.asarray(sched.alphas_cumprod),
+        explicit=schedule_idx,
+    )
+    x, _ = _ddim_jit(
+        model, p, sched, jax.random.key(0 if seed is None else seed),
+        (n, img_size, img_size, model.config.in_channels),
+        tuple(int(t) for t in ts), eta, None,
+    )
+    x01 = np.asarray(to_unit_interval(x))
+    return _save_outputs(x01, out_path, save_individual, out_dir)
+
+
+def render_denoise_strip(
+    model: UNetDenoiser,
+    params,
+    sched: DiffusionSchedule,
+    *,
+    img_size: int = 64,
+    ema_params=None,
+    seed: Optional[int] = 1234,
+    out_path: str = "denoise_strip.png",
+    capture_steps: Optional[Sequence[int]] = None,
+    pad: int = 2,
+):
+    """DDPM T->0 trajectory strip, ~20 snapshots by default
+    (parity: ``ddpm_inference.py:62-119``)."""
+    p = ema_params if ema_params is not None else params
+    if capture_steps is None:
+        capture_steps = [int(v) for v in np.round(np.linspace(sched.T - 1, 0, 20))]
+    _, frames = _ddpm_jit(
+        model, p, sched, jax.random.key(0 if seed is None else seed),
+        (1, img_size, img_size, model.config.in_channels),
+        None, tuple(sorted({int(t) for t in capture_steps}, reverse=True)),
+    )
+    frames = np.asarray(frames)
+    grid = make_grid(frames, nrow=frames.shape[0], padding=pad)
+    save_image(grid, out_path)
+    return grid
+
+
+def render_denoise_strip_ddim(
+    model: UNetDenoiser,
+    params,
+    sched: DiffusionSchedule,
+    *,
+    img_size: int = 64,
+    ema_params=None,
+    seed: Optional[int] = 1234,
+    out_path: str = "denoise_strip_ddim.png",
+    capture_steps: Optional[Sequence[int]] = None,
+    pad: int = 2,
+    steps: int = 50,
+    eta: float = 0.0,
+    schedule_kind: str = "linear",  # "linear" | "cosine"
+    schedule_idx: Optional[Sequence[int]] = None,
+):
+    """DDIM trajectory strip, <=17 frames by default
+    (parity: ``ddpim_inference.py:108-197``: 'linear' here means the
+    steps-point t-linear ladder, 'cosine' the 0.5*(1-cos) warp)."""
+    p = ema_params if ema_params is not None else params
+    kind = "t_linear" if schedule_kind == "linear" else "cosine"
+    ts = build_ddim_schedule(
+        kind, steps, sched.T,
+        alphas_cumprod=np.asarray(sched.alphas_cumprod),
+        explicit=schedule_idx,
+    )
+    if capture_steps is None:
+        K = min(17, len(ts))
+        pick = np.round(np.linspace(0, len(ts) - 1, K)).astype(int)
+        capture_steps = [int(ts[i]) for i in pick]
+    _, frames = _ddim_jit(
+        model, p, sched, jax.random.key(0 if seed is None else seed),
+        (1, img_size, img_size, model.config.in_channels),
+        tuple(int(t) for t in ts), eta,
+        tuple(sorted({int(t) for t in capture_steps}, reverse=True)),
+    )
+    frames = np.asarray(frames)
+    grid = make_grid(frames, nrow=frames.shape[0], padding=pad)
+    save_image(grid, out_path)
+    return grid

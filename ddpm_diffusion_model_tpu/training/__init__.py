@@ -1,0 +1,17 @@
+from .state import (  # noqa: F401
+    TrainConfig,
+    TrainState,
+    init_train_state,
+    make_lr_schedule,
+    make_optimizer,
+)
+from .step import make_loss_fn, make_probe_fn, make_train_step  # noqa: F401
+from .ema import ema_health, ema_init, ema_reinit_from_params, ema_update  # noqa: F401
+from .checkpoint import (  # noqa: F401
+    apply_resume_overrides,
+    load_checkpoint,
+    mirror_checkpoint,
+    save_checkpoint,
+)
+from .loop import train_ddpm, train_one_epoch  # noqa: F401
+from .diagnostics import StepTimer, device_mem_mb, fmt_hms, profiler_trace  # noqa: F401

@@ -1,0 +1,330 @@
+"""Epoch driver: the host-side orchestration around the compiled step.
+
+Capability parity with ``src/training_loops/main_train_loop.py:48-231`` and
+``train_one_epoch.py:11-168`` — resume (+overrides +EMA repair), the
+box-drawing log tables with the same columns, per-step diagnostics (loss,
+lr, dt(ms), grad-norm, memory, fixed-t probe losses), periodic EMA-gated
+sampling with a fixed seed for cross-epoch comparability, periodic
+checkpointing with a mirror copy, and a final "last" checkpoint.
+
+What changed TPU-side: the inner loop is a single jitted step (bf16 +
+grad-accum scan + EMA inside); metrics come back as a small device pytree
+fetched once per step; sampling swaps no weights (EMA params are passed
+directly); there is no GradScaler and no OOM-skip (static XLA memory; use
+``remat`` for big configs).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.unet import UNetDenoiser
+from ..ops.schedules import DiffusionSchedule
+from .checkpoint import (
+    apply_resume_overrides,
+    load_checkpoint,
+    mirror_checkpoint,
+    save_checkpoint,
+)
+from .diagnostics import StepTimer, device_mem_mb, fmt_hms, rule
+from .ema import ema_health
+from .state import TrainConfig, TrainState, init_train_state, make_optimizer
+from .step import make_probe_fn, make_train_step
+
+__all__ = ["train_ddpm", "train_one_epoch"]
+
+
+def _as_batch_array(batch) -> np.ndarray:
+    """Accept (x, label) tuples (reference loader protocol,
+    ``train_one_epoch.py:61``) or bare arrays; NHWC float32 out."""
+    if isinstance(batch, (tuple, list)):
+        batch = batch[0]
+    x = np.asarray(batch, dtype=np.float32)
+    if x.ndim != 4:
+        raise ValueError(f"expected batched images, got shape {x.shape}")
+    if x.shape[1] in (1, 3) and x.shape[-1] not in (1, 3):
+        x = np.transpose(x, (0, 2, 3, 1))  # tolerate NCHW sources
+    return x
+
+
+def train_one_epoch(
+    train_step,
+    state: TrainState,
+    dataloader: Iterable,
+    *,
+    max_batches: Optional[int] = None,
+    log_every: int = 0,
+    probe_fn=None,
+    probe_timesteps: Optional[Sequence[int]] = None,
+    log_mem: bool = False,
+    log_grad_norm: bool = False,
+    lr_of_step: Optional[Callable[[int], float]] = None,
+    epoch_header_printed: list = None,
+) -> Tuple[TrainState, float, int, int]:
+    """One pass over the loader.  Returns (state, avg_loss, n_batches, n_images)."""
+    total_loss, n_batches, n_images = 0.0, 0, 0
+    timer = StepTimer()
+
+    for i, batch in enumerate(dataloader):
+        if max_batches is not None and i >= max_batches:
+            break
+        x = _as_batch_array(batch)
+        timer.reset()
+        state, metrics = train_step(state, jnp.asarray(x))
+
+        step_now = int(jax.device_get(state.step))
+        loss_val = float(jax.device_get(metrics["loss"]))
+        total_loss += loss_val
+        n_batches += 1
+        n_images += x.shape[0]
+
+        if log_every and (step_now % log_every == 0):
+            dt_ms = timer.mark(metrics["loss"])
+            if epoch_header_printed is not None and not epoch_header_printed[0]:
+                print("┆ In-epoch statistics")
+                print(
+                    "┆   {:>8} | {:>9} | {:>8} | {:>8} | {:>10}{}".format(
+                        "step", "lr", "loss", "dt(ms)", "grad_norm",
+                        " | probes[t]" if probe_timesteps else "",
+                    )
+                )
+                print("┆   " + "─" * 72)
+                epoch_header_printed[0] = True
+
+            gn_str = (
+                f"{float(jax.device_get(metrics['grad_norm'])):.2e}"
+                if log_grad_norm
+                else "—"
+            )
+            probe_msg = ""
+            if probe_fn is not None and probe_timesteps:
+                vals = np.asarray(
+                    jax.device_get(
+                        probe_fn(
+                            state.params,
+                            jnp.asarray(x),
+                            tuple(int(t) for t in probe_timesteps),
+                            jax.random.fold_in(jax.random.key(0), step_now),
+                        )
+                    )
+                )
+                probe_msg = " | " + " ".join(
+                    f"t={tau}:{v:.3f}" for tau, v in zip(probe_timesteps, vals)
+                )
+            mem_msg = ""
+            if log_mem:
+                used, peak = device_mem_mb()
+                mem_msg = f" | mem={used:.0f}/{peak:.0f}MB"
+
+            lr_now = float(jax.device_get(metrics["lr"]))
+            print(
+                "┆   {:8d} | {:9.2e} | {:8.4f} | {:8.1f} | {:>10}{}{}".format(
+                    step_now, lr_now, loss_val, dt_ms, gn_str, mem_msg, probe_msg
+                )
+            )
+
+    avg_loss = total_loss / max(1, n_batches)
+    return state, avg_loss, n_batches, n_images
+
+
+def train_ddpm(
+    model: UNetDenoiser,
+    sched: DiffusionSchedule,
+    train_loader: Iterable,
+    *,
+    train_config: Optional[TrainConfig] = None,
+    init_params=None,
+    init_seed: int = 0,
+    epochs: int = 50,
+    max_batches: Optional[int] = None,
+    # sampling hooks
+    sample_every: int = 5,
+    sample_n: int = 36,
+    img_size: int = 64,
+    sample_fn: Optional[Callable] = None,
+    sample_seed: Optional[int] = 1234,
+    # checkpoint hooks
+    ckpt_dir: str = "checkpoints",
+    run_name: str = "ddpm",
+    save_every: int = 5,
+    save_last: bool = True,
+    resume_path: Optional[str] = None,
+    mirror_dir: Optional[str] = None,
+    fixed_mirror_name: str = "latest_ddpm",
+    # diagnostics
+    log_every: int = 0,
+    probe_timesteps: Optional[Sequence[int]] = None,
+    log_mem: bool = False,
+    log_grad_norm: bool = False,
+    # resume-time control (reference: main_train_loop.py:69-77)
+    reset_optimizer_state: bool = False,
+    override_lr: Optional[float] = None,
+    override_weight_decay: Optional[float] = None,
+    override_ema_decay: Optional[float] = None,
+    repair_ema_on_resume: bool = False,
+    ema_decay_after_repair: float = 0.9995,
+    configs_for_ckpt: Optional[Dict[str, Any]] = None,
+) -> Tuple[TrainState, Dict[str, Any]]:
+    """Full training run.  Returns (final_state, summary)."""
+    cfg = train_config or TrainConfig()
+    os.makedirs(ckpt_dir, exist_ok=True)
+
+    # LR / weight-decay overrides are optimizer-schedule inputs: apply them
+    # to the config BEFORE building tx (the state-surgery-free equivalent of
+    # main_train_loop.py:117-125).
+    if override_lr is not None:
+        cfg = TrainConfig(**{**cfg.to_dict(), "base_lr": float(override_lr)})
+    if override_weight_decay is not None:
+        cfg = TrainConfig(**{**cfg.to_dict(), "weight_decay": float(override_weight_decay)})
+
+    if init_params is None:
+        dummy_x = jnp.zeros((1, img_size, img_size, model.config.in_channels))
+        dummy_t = jnp.zeros((1,))
+        init_params = model.init(jax.random.key(init_seed), dummy_x, dummy_t)
+
+    tx = make_optimizer(cfg)
+    state, _ = init_train_state(init_params, cfg, seed=init_seed, tx=tx)
+    train_step = make_train_step(model, sched, tx, cfg)
+    probe_fn = make_probe_fn(model, sched) if probe_timesteps else None
+    lr_schedule = None
+
+    global_step, start_epoch, resumed = 0, 0, False
+    if resume_path and os.path.exists(resume_path):
+        template = state
+        state, meta = load_checkpoint(resume_path, template)
+        global_step = int(meta.get("global_step", int(jax.device_get(state.step))))
+        start_epoch = int(meta.get("epoch", 0)) + 1
+        print(
+            f"[RESUME] loaded: {resume_path} | global_step={global_step}"
+            f" | start_epoch={start_epoch}"
+        )
+        state = apply_resume_overrides(
+            state,
+            template,
+            reset_optimizer_state=reset_optimizer_state,
+            override_ema_decay=override_ema_decay,
+            repair_ema=repair_ema_on_resume,
+            ema_decay_after_repair=ema_decay_after_repair,
+        )
+        if override_lr is not None:
+            print(f"[RESUME] override_lr -> {override_lr:.3e}")
+        if override_weight_decay is not None:
+            print(f"[RESUME] override_weight_decay -> {override_weight_decay:.3e}")
+        resumed = True
+
+    # header (format parity: main_train_loop.py:144-157)
+    ema_str = f"{float(jax.device_get(state.ema_decay)):.6f}"
+    print(rule())
+    print(f"DDPM run: {run_name}")
+    print(
+        f"Backend: {jax.default_backend()} | devices: {jax.device_count()} |"
+        f" EMA: {ema_str} | epochs: {epochs} | base_lr: {cfg.base_lr:.2e} |"
+        f" warmup_steps: {cfg.warmup_steps}"
+    )
+    if resumed:
+        print(
+            "Active resume overrides:",
+            f"reset_opt={reset_optimizer_state}",
+            f"override_lr={override_lr}",
+            f"override_wd={override_weight_decay}",
+            f"override_ema={override_ema_decay}",
+        )
+    print(rule())
+    print(
+        f"{'ep':>3} | {'step':>8} | {'loss':>10} | {'lr':>9} | "
+        f"{'batches':>8} | {'images':>8} | {'imgs/s':>7} | {'time':>8} | {'warmup':>6}"
+    )
+    print(rule())
+
+    total_time = 0.0
+    header_flag = [False]
+    summary: Dict[str, Any] = {"epochs": []}
+
+    for epoch in range(start_epoch, epochs):
+        t0 = time.time()
+        state, avg_loss, n_batches, n_images = train_one_epoch(
+            train_step,
+            state,
+            train_loader,
+            max_batches=max_batches,
+            log_every=log_every,
+            probe_fn=probe_fn,
+            probe_timesteps=probe_timesteps,
+            log_mem=log_mem,
+            log_grad_norm=log_grad_norm,
+            epoch_header_printed=header_flag,
+        )
+        jax.block_until_ready(state.params)
+        sec = time.time() - t0
+        total_time += sec
+        ips = n_images / sec if sec > 0 else 0.0
+        global_step = int(jax.device_get(state.step))
+        from .state import make_lr_schedule
+
+        lr_now = float(make_lr_schedule(cfg)(max(global_step - 1, 0)))
+        warm = (
+            0.0
+            if not cfg.warmup_steps
+            else min(1.0, global_step / float(cfg.warmup_steps))
+        )
+        print(
+            f"{epoch:3d} | {global_step:8d} | {avg_loss:10.5f} | {lr_now:9.2e} | "
+            f"{n_batches:8d} | {n_images:8d} | {ips:7.1f} | {fmt_hms(sec):>8} | "
+            f"{int(100 * warm):3d}%"
+        )
+        summary["epochs"].append(
+            dict(epoch=epoch, loss=avg_loss, imgs_per_s=ips, seconds=sec)
+        )
+
+        # sampling hook: EMA-health-gated, fixed seed (main_train_loop.py:183-207)
+        if sample_fn is not None and (epoch % sample_every == 0 or epoch == epochs - 1):
+            out_path = os.path.join(ckpt_dir, f"{run_name}_samples_e{epoch:03d}.png")
+            ok, _, rel = ema_health(state.ema_params, state.params, rel_tol=2.0)
+            use_ema = bool(ok and rel <= 1.0)
+            params_for_sample = state.ema_params if use_ema else state.params
+            sample_fn(
+                model,
+                params_for_sample,
+                sched,
+                n=sample_n,
+                img_size=img_size,
+                save_path=out_path,
+                seed=sample_seed if sample_seed is not None else 0,
+            )
+            print(f"└─ [SAMPLE] grid -> {out_path} | EMA_used={use_ema} | rel={rel:.3f}")
+
+        if save_every and (epoch % save_every == 0 or epoch == epochs - 1):
+            ckpt_path = os.path.join(ckpt_dir, f"{run_name}_e{epoch:03d}")
+            save_checkpoint(
+                ckpt_path, state, epoch=epoch,
+                extra={"epoch": epoch, "global_step": global_step},
+                configs=configs_for_ckpt,
+            )
+            print(f"└─ [CKPT]   saved -> {ckpt_path}")
+            if mirror_dir:
+                dst = mirror_checkpoint(ckpt_path, mirror_dir, fixed_mirror_name)
+                if dst:
+                    print(f"└─ [MIRROR] copied -> {dst}")
+
+    if save_last:
+        ckpt_path = os.path.join(ckpt_dir, f"{run_name}_last")
+        save_checkpoint(
+            ckpt_path, state, epoch=epochs - 1,
+            extra={"epoch": epochs - 1, "global_step": global_step},
+            configs=configs_for_ckpt,
+        )
+        print(f"└─ [CKPT]   saved -> {ckpt_path}")
+        if mirror_dir:
+            mirror_checkpoint(ckpt_path, mirror_dir, fixed_mirror_name)
+
+    print(rule())
+    print(f"Training finished in {fmt_hms(total_time)}")
+    print(rule())
+    summary["total_seconds"] = total_time
+    return state, summary

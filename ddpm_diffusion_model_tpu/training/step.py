@@ -1,0 +1,139 @@
+"""The compiled training step: loss, grads, accumulation, clip, update, EMA.
+
+TPU-native redesign of the reference's per-batch Python loop body
+(``src/training_loops/train_one_epoch.py:61-121``): everything between
+"batch arrives" and "state advanced" is ONE jitted, donated program —
+bf16 forward/backward, fp32 master params and loss, gradient accumulation as
+a ``lax.scan`` over microbatches (the reference simulates it with loss/k and
+deferred ``optimizer.step``, ``train_one_epoch.py:75,82``), global-norm clip,
+AdamW with warmup schedule, and the EMA pytree lerp — no GradScaler (bf16
+needs none) and no OOM-skip (XLA memory is planned statically; use
+``remat=True`` on the model for the 256px configs instead).
+
+Also here: the diagnostics the reference prints per step — grad-norm
+(pre-clip, ``training_utils.py:128-133``) and fixed-timestep probe losses
+(``train_one_epoch.py:134-142``) — as separate jitted functions so the hot
+step never pays for them unless called.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.unet import UNetDenoiser
+from ..ops.diffusion import loss_simple, sample_timesteps
+from ..ops.schedules import DiffusionSchedule
+from .ema import ema_update
+from .state import TrainConfig, TrainState, make_lr_schedule
+
+__all__ = ["make_train_step", "make_probe_fn", "make_loss_fn"]
+
+Metrics = Dict[str, jnp.ndarray]
+
+
+def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule):
+    """(params, x, key) -> scalar L_simple with fresh t ~ U{1..T-1} and
+    fresh noise, dropout active (training mode)."""
+
+    def loss_fn(params, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        kt, kn, kd = jax.random.split(key, 3)
+        t = sample_timesteps(kt, x.shape[0], sched.T)
+        noise = jax.random.normal(kn, x.shape, dtype=jnp.float32)
+
+        def eps_fn(x_t, tt):
+            return model.apply(
+                params, x_t, tt, deterministic=False, rngs={"dropout": kd}
+            )
+
+        return loss_simple(sched, eps_fn, x, t, noise)
+
+    return loss_fn
+
+
+def make_train_step(
+    model: UNetDenoiser,
+    sched: DiffusionSchedule,
+    tx: optax.GradientTransformation,
+    cfg: TrainConfig,
+) -> Callable[[TrainState, jnp.ndarray], Tuple[TrainState, Metrics]]:
+    """Build the jitted train step.  ``batch`` is (B, H, W, C) fp32 in
+    [-1, 1]; with ``grad_accum_steps=k`` it is split into k microbatches
+    (B divisible by k) and gradients are averaged — numerically the
+    reference's loss/k + deferred step."""
+
+    loss_fn = make_loss_fn(model, sched)
+    accum = max(1, int(cfg.grad_accum_steps))
+    lr_schedule = make_lr_schedule(cfg)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
+        rng_next, k_step = jax.random.split(state.rng)
+
+        B = batch.shape[0]
+        micro = batch.reshape(accum, B // accum, *batch.shape[1:])
+        keys = jax.random.split(k_step, accum)
+
+        grad_fn = jax.value_and_grad(loss_fn)
+
+        def body(carry, inp):
+            loss_acc, g_acc = carry
+            x, k = inp
+            loss, g = grad_fn(state.params, x, k)
+            g_acc = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g_acc, g)
+            return (loss_acc + loss, g_acc), None
+
+        zero_g = jax.tree.map(
+            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+        )
+        (loss_sum, grad_sum), _ = jax.lax.scan(body, (0.0, zero_g), (micro, keys))
+        loss = loss_sum / accum
+        grads = jax.tree.map(lambda g: g / accum, grad_sum)
+
+        grad_norm = optax.global_norm(grads)  # pre-clip, like the reference
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        ema_params = ema_update(state.ema_params, params, state.ema_decay)
+
+        new_state = state.replace(
+            step=state.step + 1,
+            params=params,
+            opt_state=opt_state,
+            ema_params=ema_params,
+            rng=rng_next,
+        )
+        metrics = {
+            "loss": loss,
+            "grad_norm": grad_norm,
+            "lr": lr_schedule(state.step),
+        }
+        return new_state, metrics
+
+    return train_step
+
+
+def make_probe_fn(
+    model: UNetDenoiser, sched: DiffusionSchedule
+) -> Callable[[Any, jnp.ndarray, Tuple[int, ...], jax.Array], jnp.ndarray]:
+    """Fixed-timestep loss probes: re-evaluate L_simple at chosen t values on
+    the current batch (``train_one_epoch.py:134-142``), eval mode, one jitted
+    program returning a (len(taus),) vector."""
+
+    @functools.partial(jax.jit, static_argnames=("taus",))
+    def probe(params, x: jnp.ndarray, taus: Tuple[int, ...], key: jax.Array) -> jnp.ndarray:
+        def eps_fn(x_t, tt):
+            return model.apply(params, x_t, tt, deterministic=True)
+
+        losses = []
+        for i, tau in enumerate(taus):
+            k = jax.random.fold_in(key, i)
+            t = jnp.full((x.shape[0],), int(tau), dtype=jnp.int32)
+            noise = jax.random.normal(k, x.shape, dtype=jnp.float32)
+            losses.append(loss_simple(sched, eps_fn, x, t, noise))
+        return jnp.stack(losses)
+
+    return probe

@@ -1,0 +1,297 @@
+"""Training-runtime tests — EMA init/update/health/repair, LR warmup
+schedule, compiled train step (loss decreases on a trivial task, grad accum
+equivalence, EMA tracks params), checkpoint save/load round trip with
+overrides, and a micro end-to-end train_ddpm run with resume.
+Coverage mirrors ``testing/test_training_components.py``."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpm_diffusion_model_tpu.models import UNetConfig, UNetDenoiser
+from ddpm_diffusion_model_tpu.ops import DiffusionConfig, make_schedule
+from ddpm_diffusion_model_tpu.training import (
+    TrainConfig,
+    apply_resume_overrides,
+    ema_health,
+    ema_init,
+    ema_update,
+    init_train_state,
+    load_checkpoint,
+    make_lr_schedule,
+    make_optimizer,
+    make_probe_fn,
+    make_train_step,
+    save_checkpoint,
+    train_ddpm,
+)
+
+RES = 8
+T = 50
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = UNetConfig(
+        base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+        attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+        img_resolution=RES, dropout=0.1,
+    )
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    sched = make_schedule(DiffusionConfig(T=T, img_size=RES))
+    params = model.init(jax.random.key(0), jnp.ones((1, RES, RES, 3)), jnp.zeros((1,)))
+    return model, sched, params
+
+
+# ---------- EMA ----------
+
+def test_ema_init_mirrors_params(setup):
+    _, _, params = setup
+    ema = ema_init(params)
+    for a, b in zip(jax.tree.leaves(ema), jax.tree.leaves(params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_ema_update_moves_toward_params(setup):
+    _, _, params = setup
+    ema = jax.tree.map(jnp.zeros_like, params)
+    ema2 = ema_update(ema, params, 0.9)
+    for e2, p in zip(jax.tree.leaves(ema2), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(e2), 0.1 * np.asarray(p), rtol=1e-5)
+
+
+def test_ema_update_traced_decay(setup):
+    _, _, params = setup
+    ema = ema_init(params)
+    f = jax.jit(lambda e, p, d: ema_update(e, p, d))
+    out = f(ema, params, jnp.asarray(0.5))
+    for a, b in zip(jax.tree.leaves(out), jax.tree.leaves(params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
+
+
+def test_ema_health_ok_and_failures(setup):
+    _, _, params = setup
+    ema = ema_init(params)
+    ok, reason, rel = ema_health(ema, params)
+    assert ok and reason == "ok" and rel < 1e-6
+
+    # nan poison
+    bad = jax.tree.map(lambda p: p, ema)
+    leaves, treedef = jax.tree.flatten(bad)
+    leaves[0] = leaves[0].at[(0,) * leaves[0].ndim].set(jnp.nan)
+    bad = jax.tree.unflatten(treedef, leaves)
+    ok, reason, _ = ema_health(bad, params)
+    assert not ok and reason == "nan_or_inf_in_ema"
+
+    # zero shadow
+    zeros = jax.tree.map(jnp.zeros_like, params)
+    ok, reason, _ = ema_health(zeros, params)
+    assert not ok and reason == "ema_zero_norm"
+
+    # large drift
+    big = jax.tree.map(lambda p: p + 100.0, params)
+    ok, reason, rel = ema_health(big, params, rel_tol=5.0)
+    assert not ok and reason == "large_rel_diff" and rel > 5.0
+
+
+# ---------- LR schedule / optimizer ----------
+
+def test_lr_warmup_schedule():
+    cfg = TrainConfig(base_lr=1e-3, warmup_steps=100)
+    s = make_lr_schedule(cfg)
+    np.testing.assert_allclose(float(s(0)), 1e-5, rtol=1e-5)
+    np.testing.assert_allclose(float(s(49)), 5e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(s(99)), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(float(s(500)), 1e-3, rtol=1e-5)
+
+
+def test_lr_no_warmup():
+    cfg = TrainConfig(base_lr=2e-4, warmup_steps=None)
+    s = make_lr_schedule(cfg)
+    np.testing.assert_allclose(float(s(0)), 2e-4, rtol=1e-6)
+
+
+# ---------- train step ----------
+
+def test_train_step_advances_and_is_finite(setup):
+    model, sched, params = setup
+    cfg = TrainConfig(base_lr=1e-3, warmup_steps=10, grad_accum_steps=1)
+    tx = make_optimizer(cfg)
+    state, _ = init_train_state(params, cfg, tx=tx)
+    step = make_train_step(model, sched, tx, cfg)
+
+    batch = jax.random.normal(jax.random.key(1), (4, RES, RES, 3)) * 0.5
+    state2, metrics = step(state, batch)
+    assert int(state2.step) == 1
+    assert np.isfinite(float(metrics["loss"]))
+    assert np.isfinite(float(metrics["grad_norm"])) and float(metrics["grad_norm"]) > 0
+    # params actually moved
+    diff = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(jax.tree.leaves(state2.params), jax.tree.leaves(params))
+    )
+    assert diff > 0
+    # EMA is between old params and new params (moved slightly)
+    ema_diff = sum(
+        float(jnp.abs(a - b).sum())
+        for a, b in zip(jax.tree.leaves(state2.ema_params), jax.tree.leaves(params))
+    )
+    assert 0 < ema_diff < diff
+
+
+def test_loss_decreases_over_steps(setup):
+    model, sched, params = setup
+    cfg = TrainConfig(base_lr=3e-3, warmup_steps=None, grad_accum_steps=1,
+                      ema_decay=0.99)
+    tx = make_optimizer(cfg)
+    state, _ = init_train_state(params, cfg, tx=tx)
+    step = make_train_step(model, sched, tx, cfg)
+
+    # constant dataset: tiny model should quickly beat the eps~N(0,1) baseline
+    batch = jnp.zeros((8, RES, RES, 3))
+    losses = []
+    for _ in range(30):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5])
+
+
+def test_grad_accum_equivalence(setup):
+    model, sched, params = setup
+    batch = jax.random.normal(jax.random.key(2), (8, RES, RES, 3)) * 0.3
+
+    def run(accum):
+        cfg = TrainConfig(base_lr=1e-3, warmup_steps=None, grad_accum_steps=accum,
+                          grad_clip=None)
+        tx = make_optimizer(cfg)
+        state, _ = init_train_state(params, cfg, seed=0, tx=tx)
+        step = make_train_step(model, sched, tx, cfg)
+        state, m = step(state, batch)
+        return state, m
+
+    s1, m1 = run(1)
+    s2, m2 = run(2)
+    # different RNG per microbatch -> not identical, but same scale and both move
+    assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 2.0
+    assert int(s2.step) == 1  # 2 microbatches = ONE optimizer step
+
+
+def test_probe_fn(setup):
+    model, sched, params = setup
+    probe = make_probe_fn(model, sched)
+    x = jax.random.normal(jax.random.key(3), (4, RES, RES, 3)) * 0.3
+    vals = probe(params, x, (5, 20, 45), jax.random.key(4))
+    v = np.asarray(vals)
+    assert v.shape == (3,)
+    assert np.all(np.isfinite(v)) and np.all(v > 0)
+
+
+# ---------- checkpoint ----------
+
+def test_checkpoint_roundtrip_and_overrides(setup, tmp_path):
+    model, sched, params = setup
+    cfg = TrainConfig(grad_accum_steps=1, warmup_steps=None)
+    tx = make_optimizer(cfg)
+    state, _ = init_train_state(params, cfg, tx=tx)
+    step = make_train_step(model, sched, tx, cfg)
+    batch = jax.random.normal(jax.random.key(5), (4, RES, RES, 3)) * 0.3
+    for _ in range(3):
+        state, _ = step(state, batch)
+
+    p = str(tmp_path / "ckpt_e000")
+    save_checkpoint(p, state, epoch=0, extra={"note": "x"},
+                    configs={"train": cfg.to_dict()})
+    assert os.path.isdir(p)
+
+    template, _ = init_train_state(params, cfg, tx=tx)
+    restored, meta = load_checkpoint(p, template)
+    assert meta["epoch"] == 0 and meta["global_step"] == 3
+    assert meta["configs"]["train"]["base_lr"] == cfg.base_lr
+    assert int(restored.step) == 3
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(
+        jax.tree.leaves(restored.ema_params), jax.tree.leaves(state.ema_params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # restored state continues training identically (same rng stream)
+    s_a, m_a = step(state, batch)
+    # recreate: loading consumed nothing
+    restored2, _ = load_checkpoint(p, template)
+    s_b, m_b = step(restored2, batch)
+    np.testing.assert_allclose(float(m_a["loss"]), float(m_b["loss"]), rtol=1e-5)
+
+    # overrides
+    template2, _ = init_train_state(params, cfg, tx=tx)
+    restored3, _ = load_checkpoint(p, template2)
+    out = apply_resume_overrides(
+        restored3, template2, reset_optimizer_state=True, override_ema_decay=0.5,
+    )
+    np.testing.assert_allclose(float(out.ema_decay), 0.5)
+
+    # EMA repair path: poison the shadow, ask for repair
+    poisoned = restored3.replace(
+        ema_params=jax.tree.map(lambda p: p * 0.0, restored3.ema_params)
+    )
+    repaired = apply_resume_overrides(
+        poisoned, template2, repair_ema=True, ema_decay_after_repair=0.123,
+    )
+    np.testing.assert_allclose(float(repaired.ema_decay), 0.123, rtol=1e-6)
+    for a, b in zip(
+        jax.tree.leaves(repaired.ema_params), jax.tree.leaves(repaired.params)
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------- end-to-end micro run ----------
+
+def test_train_ddpm_end_to_end_with_resume(setup, tmp_path, capsys):
+    model, sched, params = setup
+    cfg = TrainConfig(base_lr=1e-3, warmup_steps=5, grad_accum_steps=2,
+                      ema_decay=0.99)
+
+    rng = np.random.default_rng(0)
+    data = [rng.normal(size=(4, RES, RES, 3)).astype(np.float32) * 0.3 for _ in range(3)]
+
+    sample_calls = []
+
+    def sample_fn(model_, params_, sched_, *, n, img_size, save_path, seed):
+        sample_calls.append(save_path)
+
+    ckpt_dir = str(tmp_path / "ck")
+    state, summary = train_ddpm(
+        model, sched, data,
+        train_config=cfg, init_params=params,
+        epochs=2, sample_every=1, sample_n=1, img_size=RES,
+        sample_fn=sample_fn, ckpt_dir=ckpt_dir, run_name="t",
+        save_every=1, log_every=1, probe_timesteps=[5, 20],
+        log_grad_norm=True,
+        configs_for_ckpt={"train": cfg.to_dict()},
+    )
+    out = capsys.readouterr().out
+    assert "DDPM run: t" in out
+    assert "imgs/s" in out
+    assert "probes" in out or "t=5" in out
+    assert len(sample_calls) == 2
+    assert int(state.step) == 6  # 2 epochs * 3 batches
+    assert len(summary["epochs"]) == 2
+    assert os.path.isdir(os.path.join(ckpt_dir, "t_last"))
+
+    # resume from epoch-0 checkpoint and run one more epoch
+    state2, _ = train_ddpm(
+        model, sched, data,
+        train_config=cfg, init_params=params,
+        epochs=2, sample_every=10, img_size=RES,
+        ckpt_dir=ckpt_dir, run_name="t2", save_every=10, save_last=False,
+        resume_path=os.path.join(ckpt_dir, "t_e000"),
+        override_lr=5e-4, repair_ema_on_resume=True,
+    )
+    out2 = capsys.readouterr().out
+    assert "[RESUME] loaded" in out2
+    assert "override_lr" in out2
+    assert int(state2.step) == 6  # resumed at 3, one epoch of 3 batches
