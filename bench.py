@@ -1,0 +1,156 @@
+"""Benchmark: training throughput (imgs/s) on the reference's headline config.
+
+Measures the 64x64 attention U-Net (base 128, mults (1,2,2,2), 2 resblocks,
+attn {16,8}, 4 heads x 64), batch 128, bf16 — the config of BASELINE.md row 3
+(reference: 246-266 imgs/s on a Colab GPU).  Prints ONE JSON line.
+
+Usage: python bench.py [--config attn|low|hq256] [--steps N]
+"""
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINES = {
+    # midpoints of BASELINE.md throughput rows
+    "attn": 256.0,   # row 3: 246-266 imgs/s, batch 128
+    "low": 362.0,    # row 1: 345-379 imgs/s, batch 32
+    "hq256": 32.0,   # row 4: 31.3-32.8 imgs/s, batch 8 x accum 8
+}
+
+
+def bench_sampling(args):
+    """samples/s for DDPM-1000 and DDIM-50 on the attention U-Net (the
+    reference's quality reference points, BASELINE.md row 10)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ddpm_diffusion_model_tpu.models import UNetDenoiser, unet_64x64_config
+    from ddpm_diffusion_model_tpu.ops import DiffusionConfig, make_schedule
+    from ddpm_diffusion_model_tpu.sampling.inference import _ddim_jit, _ddpm_jit
+    from ddpm_diffusion_model_tpu.sampling.timesteps import build_ddim_schedule
+
+    model = UNetDenoiser(unet_64x64_config(), dtype=jnp.bfloat16)
+    sched = make_schedule(DiffusionConfig(T=1000, img_size=64))
+    params = model.init(jax.random.key(0), jnp.ones((1, 64, 64, 3)), jnp.zeros((1,)))
+    n = 36
+    shape = (n, 64, 64, 3)
+    results = {}
+
+    if args.sampler in ("ddpm", "both"):
+        key = jax.random.key(1)
+        x, _ = _ddpm_jit(model, params, sched, key, shape, None, None)  # compile
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        x, _ = _ddpm_jit(model, params, sched, jax.random.key(2), shape, None, None)
+        jax.block_until_ready(x)
+        results["ddpm1000_samples_per_s"] = n / (time.perf_counter() - t0)
+
+    if args.sampler in ("ddim", "both"):
+        ts = tuple(int(t) for t in build_ddim_schedule("t_linear", 50, 1000))
+        x, _ = _ddim_jit(model, params, sched, jax.random.key(3), shape, ts, 0.0, None)
+        jax.block_until_ready(x)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            x, _ = _ddim_jit(model, params, sched, jax.random.key(4), shape, ts, 0.0, None)
+        jax.block_until_ready(x)
+        results["ddim50_samples_per_s"] = 3 * n / (time.perf_counter() - t0)
+
+    for k, v in results.items():
+        print(json.dumps({"metric": k, "value": round(v, 2), "unit": "samples/s",
+                          "vs_baseline": None}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--config", default="attn", choices=list(BASELINES))
+    ap.add_argument("--mode", default="train", choices=["train", "sample"])
+    ap.add_argument("--sampler", default="both", choices=["ddpm", "ddim", "both"])
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--warmup", type=int, default=3)
+    args = ap.parse_args()
+
+    from ddpm_diffusion_model_tpu.utils.compilation_cache import (
+        enable_compilation_cache,
+    )
+
+    enable_compilation_cache()
+
+    if args.mode == "sample":
+        return bench_sampling(args)
+
+    from ddpm_diffusion_model_tpu.models import (
+        UNetDenoiser,
+        unet_256x256_config,
+        unet_64x64_config,
+        unet_64x64_low_config,
+    )
+    from ddpm_diffusion_model_tpu.ops import DiffusionConfig, make_schedule
+    from ddpm_diffusion_model_tpu.training import (
+        TrainConfig,
+        init_train_state,
+        make_optimizer,
+        make_train_step,
+    )
+
+    if args.config == "attn":
+        mcfg, res, batch, accum, ema = unet_64x64_config(), 64, 128, 1, 0.9997
+        metric = "train_imgs_per_s_celeba64_attn"
+    elif args.config == "low":
+        mcfg, res, batch, accum, ema = unet_64x64_low_config(), 64, 32, 1, 0.9995
+        metric = "train_imgs_per_s_celeba64_low"
+    else:
+        mcfg, res, batch, accum, ema = unet_256x256_config(), 256, 64, 8, 0.9997
+        metric = "train_imgs_per_s_celebahq256"
+
+    model = UNetDenoiser(mcfg, dtype=jnp.bfloat16, remat=(args.config == "hq256"))
+    dyn = 0.995 if args.config == "hq256" else None
+    sched = make_schedule(
+        DiffusionConfig(T=1000, schedule="linear", img_size=res, dynamic_threshold=dyn)
+    )
+    tcfg = TrainConfig(
+        base_lr=2e-4, warmup_steps=1000, grad_accum_steps=accum, ema_decay=ema
+    )
+
+    params = model.init(
+        jax.random.key(0), jnp.ones((1, res, res, 3)), jnp.zeros((1,))
+    )
+    tx = make_optimizer(tcfg)
+    state, _ = init_train_state(params, tcfg, tx=tx)
+    train_step = make_train_step(model, sched, tx, tcfg)
+
+    rng = np.random.default_rng(0)
+    batch_np = rng.normal(size=(batch, res, res, 3)).astype(np.float32) * 0.5
+    x = jnp.asarray(batch_np)
+
+    for _ in range(args.warmup):
+        state, metrics = train_step(state, x)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(args.steps):
+        state, metrics = train_step(state, x)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    ips = args.steps * batch / dt
+    base = BASELINES[args.config]
+    print(
+        json.dumps(
+            {
+                "metric": metric,
+                "value": round(ips, 1),
+                "unit": "imgs/s",
+                "vs_baseline": round(ips / base, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,256 @@
+"""Thin CLI over the five reference entry points.
+
+The reference's "CLI" is its notebooks (SURVEY.md §1: "no CLI layer");
+here the same workflows are commands:
+
+    python -m ddpm_diffusion_model_tpu.cli train --preset celeba64_low --data synthetic
+    python -m ddpm_diffusion_model_tpu.cli sample-ddpm --ckpt ck/run_last --n 36
+    python -m ddpm_diffusion_model_tpu.cli sample-ddim --ckpt ck/run_last --steps 50
+    python -m ddpm_diffusion_model_tpu.cli strip --ckpt ck/run_last --sampler ddim
+    python -m ddpm_diffusion_model_tpu.cli info --preset celebahq256
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _build(exp):
+    import jax
+
+    from .utils.compilation_cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    import jax.numpy as jnp
+
+    from .models import UNetDenoiser
+    from .ops import make_schedule
+
+    model = UNetDenoiser(exp.model, dtype=jnp.bfloat16, remat=exp.remat)
+    sched = make_schedule(exp.diffusion)
+    return model, sched
+
+
+def _load_state(ckpt, exp):
+    import jax
+    import jax.numpy as jnp
+
+    from .training import init_train_state, load_checkpoint, make_optimizer
+
+    model, sched = _build(exp)
+    params = model.init(
+        jax.random.key(exp.seed),
+        jnp.ones((1, exp.img_size, exp.img_size, exp.model.in_channels)),
+        jnp.zeros((1,)),
+    )
+    tx = make_optimizer(exp.train)
+    template, _ = init_train_state(params, exp.train, tx=tx)
+    state, meta = load_checkpoint(ckpt, template)
+    return model, sched, state, meta
+
+
+def _exp_from_args(args):
+    from .utils.config import ExperimentConfig, get_preset
+
+    if getattr(args, "config", None):
+        with open(args.config) as f:
+            return ExperimentConfig.from_json(f.read())
+    exp = get_preset(args.preset)
+    if getattr(args, "ckpt", None):
+        meta_path = os.path.join(args.ckpt, "meta.json")
+        if os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("configs", {}).get("experiment"):
+                return ExperimentConfig.from_dict(meta["configs"]["experiment"])
+    return exp
+
+
+def _make_loader(args, exp):
+    from .data import (
+        ArrayDataset,
+        DataLoader,
+        build_hf_image_loader,
+        get_celeba_loader_from_zip,
+        get_celeba_loaders,
+    )
+
+    if args.data == "synthetic":
+        rng = np.random.default_rng(exp.seed)
+        n = args.synthetic_size
+        arr = rng.normal(size=(n, exp.img_size, exp.img_size, 3)).astype(np.float32)
+        arr = np.clip(arr * 0.4, -1, 1)
+        return DataLoader(ArrayDataset(arr), exp.batch_size, seed=exp.seed)
+    if args.data == "zip":
+        if not args.zip_path:
+            raise SystemExit("error: --data zip requires --zip-path <file.zip>")
+        if not os.path.exists(args.zip_path):
+            raise SystemExit(f"error: zip not found: {args.zip_path}")
+        return get_celeba_loader_from_zip(
+            args.zip_path, img_size=exp.img_size, batch_size=exp.batch_size,
+            seed=exp.seed,
+        )
+    if args.data == "hf":
+        return build_hf_image_loader(
+            img_size=exp.img_size, batch_size=exp.batch_size, seed=exp.seed
+        )
+    if args.data == "celeba":
+        train, _va, _te = get_celeba_loaders(
+            data_dir=args.data_dir, img_size=exp.img_size,
+            batch_size=exp.batch_size, seed=exp.seed,
+        )
+        return train
+    raise ValueError(args.data)
+
+
+def cmd_train(args):
+    from .sampling import ddpm_sample
+    from .training import train_ddpm
+
+    exp = _exp_from_args(args)
+    model, sched = _build(exp)
+    loader = _make_loader(args, exp)
+
+    def sample_fn(model_, params_, sched_, *, n, img_size, save_path, seed):
+        ddpm_sample(model_, params_, sched_, n, img_size, seed=seed,
+                    save_path=save_path)
+
+    state, summary = train_ddpm(
+        model, sched, loader,
+        train_config=exp.train,
+        epochs=args.epochs or exp.epochs,
+        max_batches=args.max_batches,
+        sample_every=exp.sample_every, sample_n=exp.sample_n,
+        img_size=exp.img_size,
+        sample_fn=sample_fn if not args.no_samples else None,
+        ckpt_dir=args.ckpt_dir, run_name=exp.run_name,
+        save_every=exp.save_every, resume_path=args.resume,
+        log_every=args.log_every or exp.log_every,
+        probe_timesteps=[10, 50, 200, 500] if args.probes else None,
+        log_grad_norm=args.probes,
+        configs_for_ckpt={"experiment": exp.to_dict()},
+    )
+    print(json.dumps({"final_loss": summary["epochs"][-1]["loss"]}))
+
+
+def cmd_sample_ddpm(args):
+    from .sampling import ddpm_infer_sample
+
+    exp = _exp_from_args(args)
+    model, sched, state, _ = _load_state(args.ckpt, exp)
+    ddpm_infer_sample(
+        model, state.params, sched, n=args.n, img_size=exp.img_size,
+        ema_params=state.ema_params if args.ema else None,
+        out_path=args.out, seed=args.seed, save_individual=args.individual,
+    )
+    print(f"[INFER] grid -> {args.out}")
+
+
+def cmd_sample_ddim(args):
+    from .sampling import ddim_infer_sample
+
+    exp = _exp_from_args(args)
+    model, sched, state, _ = _load_state(args.ckpt, exp)
+    ddim_infer_sample(
+        model, state.params, sched, n=args.n, img_size=exp.img_size,
+        ema_params=state.ema_params if args.ema else None,
+        out_path=args.out, seed=args.seed, steps=args.steps, eta=args.eta,
+        schedule_kind=args.schedule, save_individual=args.individual,
+    )
+    print(f"[INFER-DDIM] grid -> {args.out} (steps={args.steps}, eta={args.eta})")
+
+
+def cmd_strip(args):
+    from .sampling import render_denoise_strip, render_denoise_strip_ddim
+
+    exp = _exp_from_args(args)
+    model, sched, state, _ = _load_state(args.ckpt, exp)
+    p = state.ema_params if args.ema else state.params
+    if args.sampler == "ddim":
+        render_denoise_strip_ddim(
+            model, p, sched, img_size=exp.img_size, out_path=args.out,
+            seed=args.seed, steps=args.steps, eta=args.eta,
+        )
+    else:
+        render_denoise_strip(
+            model, p, sched, img_size=exp.img_size, out_path=args.out,
+            seed=args.seed,
+        )
+    print(f"[DENOISE] strip -> {args.out}")
+
+
+def cmd_info(args):
+    exp = _exp_from_args(args)
+    print(exp.to_json())
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="ddpm-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp, ckpt_required=False):
+        sp.add_argument("--preset", default="celeba64_low")
+        sp.add_argument("--config", help="path to ExperimentConfig JSON")
+        if ckpt_required:
+            sp.add_argument("--ckpt", required=True)
+            sp.add_argument("--ema", action="store_true")
+            sp.add_argument("--seed", type=int, default=1234)
+
+    sp = sub.add_parser("train")
+    common(sp)
+    sp.add_argument("--data", default="synthetic",
+                    choices=["synthetic", "zip", "hf", "celeba"])
+    sp.add_argument("--zip-path")
+    sp.add_argument("--data-dir", default="data")
+    sp.add_argument("--synthetic-size", type=int, default=512)
+    sp.add_argument("--epochs", type=int)
+    sp.add_argument("--max-batches", type=int)
+    sp.add_argument("--ckpt-dir", default="checkpoints")
+    sp.add_argument("--resume")
+    sp.add_argument("--log-every", type=int, default=0)
+    sp.add_argument("--probes", action="store_true")
+    sp.add_argument("--no-samples", action="store_true")
+    sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser("sample-ddpm")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--n", type=int, default=36)
+    sp.add_argument("--out", default="samples_ddpm.png")
+    sp.add_argument("--individual", action="store_true")
+    sp.set_defaults(fn=cmd_sample_ddpm)
+
+    sp = sub.add_parser("sample-ddim")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--n", type=int, default=36)
+    sp.add_argument("--steps", type=int, default=50)
+    sp.add_argument("--eta", type=float, default=0.0)
+    sp.add_argument("--schedule", default="t_linear",
+                    choices=["t_linear", "alpha_bar_cosine", "cosine", "karras"])
+    sp.add_argument("--out", default="samples_ddim.png")
+    sp.add_argument("--individual", action="store_true")
+    sp.set_defaults(fn=cmd_sample_ddim)
+
+    sp = sub.add_parser("strip")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--sampler", default="ddim", choices=["ddpm", "ddim"])
+    sp.add_argument("--steps", type=int, default=50)
+    sp.add_argument("--eta", type=float, default=0.0)
+    sp.add_argument("--out", default="denoise_strip.png")
+    sp.set_defaults(fn=cmd_strip)
+
+    sp = sub.add_parser("info")
+    common(sp)
+    sp.add_argument("--ckpt")
+    sp.set_defaults(fn=cmd_info)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,178 @@
+"""CelebA / CelebA-HQ loader factories — the reference's four entry points.
+
+API parity (SURVEY.md §2.4):
+- :func:`get_celeba_loaders`          <- ``load_data_from_torch.py:4-59``
+  (torchvision download path; gated — falls back to a local image root when
+  torchvision isn't installed)
+- :func:`get_celeba_loader_from_zip`  <- ``load_data_local.py:8-109``
+- :func:`build_hf_image_loader`       <- ``celebraHQ.py:11-94``
+- :func:`create_subset_dataloader`    <- ``subset_celebra.py:5-61``
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from .datasets import (
+    ArrayDataset,
+    HFImageDataset,
+    ImageFolderDataset,
+    SubsetDataset,
+    ensure_extracted,
+)
+from .loader import DataLoader
+from .transforms import make_celeba_transform
+
+__all__ = [
+    "get_celeba_loaders",
+    "get_celeba_loader_from_zip",
+    "build_hf_image_loader",
+    "create_subset_dataloader",
+]
+
+
+def get_celeba_loaders(
+    data_dir: str = "data",
+    img_size: int = 64,
+    batch_size: int = 128,
+    num_workers: int = 8,
+    seed: int = 0,
+    download: bool = True,
+) -> Tuple[DataLoader, DataLoader, DataLoader]:
+    """(train, valid, test) CelebA loaders with the reference transform
+    (CenterCrop 178 -> Resize -> [-1,1]).
+
+    Uses torchvision's downloader when available; otherwise expects the
+    aligned images under ``data_dir/celeba/img_align_celeba`` and splits
+    162770/19867/19962 by index like the official partition sizes.
+    """
+    transform = make_celeba_transform(img_size=img_size, crop=178)
+
+    try:
+        import torchvision  # noqa: F401
+
+        return _celeba_via_torchvision(
+            data_dir, img_size, batch_size, num_workers, seed, download, transform
+        )
+    except ImportError:
+        pass
+
+    root = os.path.join(data_dir, "celeba", "img_align_celeba")
+    ds = ImageFolderDataset(
+        root, transform, on_corrupt="next", img_size=img_size, crop=178
+    )
+    n = len(ds)
+    n_train = min(162770, int(n * 0.8))
+    n_valid = min(19867, max(0, (n - n_train) // 2))
+
+    class _Slice:
+        def __init__(self, base, lo, hi):
+            self.base, self.lo, self.hi = base, lo, hi
+
+        def __len__(self):
+            return self.hi - self.lo
+
+        def __getitem__(self, i):
+            return self.base[self.lo + i]
+
+    mk = lambda lo, hi, sh: DataLoader(
+        _Slice(ds, lo, hi), batch_size, shuffle=sh, seed=seed,
+        num_workers=num_workers,
+    )
+    return (
+        mk(0, n_train, True),
+        mk(n_train, n_train + n_valid, False),
+        mk(n_train + n_valid, n, False),
+    )
+
+
+def _celeba_via_torchvision(
+    data_dir, img_size, batch_size, num_workers, seed, download, transform
+):
+    from torchvision import datasets as tvd
+
+    class _TV:
+        def __init__(self, split):
+            self.ds = tvd.CelebA(root=data_dir, split=split, download=download)
+
+        def __len__(self):
+            return len(self.ds)
+
+        def __getitem__(self, i):
+            img, _attrs = self.ds[i]
+            return transform(img), 0
+
+    mk = lambda split, sh: DataLoader(
+        _TV(split), batch_size, shuffle=sh, seed=seed, num_workers=num_workers
+    )
+    return mk("train", True), mk("valid", False), mk("test", False)
+
+
+def get_celeba_loader_from_zip(
+    zip_path: str,
+    extract_dir: str = "data/celeba_zip",
+    img_size: int = 64,
+    batch_size: int = 128,
+    num_workers: int = 8,
+    seed: int = 0,
+    on_corrupt: str = "next",
+) -> DataLoader:
+    """Extract-once zip loader with the extra leading Resize(178) and
+    broken-image neighbor fallback (``load_data_local.py``)."""
+    root = ensure_extracted(zip_path, extract_dir)
+    transform = make_celeba_transform(img_size=img_size, crop=178, initial_resize=178)
+    ds = ImageFolderDataset(
+        root, transform, on_corrupt=on_corrupt, img_size=img_size,
+        crop=178, initial_resize=178,
+    )
+    return DataLoader(ds, batch_size, shuffle=True, seed=seed, num_workers=num_workers)
+
+
+def build_hf_image_loader(
+    name: str = "eurecom-ds/celeba-hq-256",
+    split: str = "default",
+    img_size: int = 256,
+    batch_size: int = 8,
+    num_workers: int = 8,
+    seed: int = 0,
+    cache_dir: Optional[str] = None,
+    smoke_test: bool = True,
+) -> DataLoader:
+    """HF CelebA-HQ-256 loader: zeros placeholder for corrupt images, seeded
+    shuffling, optional first-batch smoke test (``celebraHQ.py:88-92``)."""
+    transform = (
+        make_celeba_transform(img_size=img_size, crop=None)
+        if img_size != 256
+        else None
+    )
+    ds = HFImageDataset(
+        name=name, split=split, transform=transform, img_size=img_size,
+        cache_dir=cache_dir,
+    )
+    loader = DataLoader(
+        ds, batch_size, shuffle=True, seed=seed, num_workers=num_workers
+    )
+    if smoke_test:
+        x, y = next(iter(loader))
+        assert x.shape[1:] == (img_size, img_size, 3), x.shape
+        assert np.isfinite(x).all()
+        loader.set_epoch(0)  # don't consume an epoch's shuffle
+    return loader
+
+
+def create_subset_dataloader(
+    dataset,
+    batch_size: int = 128,
+    max_samples: int = 100_000,
+    seed: int = 42,
+    num_workers: int = 8,
+) -> DataLoader:
+    """Seeded random-subset loader (``subset_celebra.py:5-61``).  Accepts any
+    dataset object or a raw (N,H,W,C) array."""
+    if isinstance(dataset, np.ndarray):
+        dataset = ArrayDataset(dataset)
+    sub = SubsetDataset(dataset, max_samples=max_samples, seed=seed)
+    return DataLoader(sub, batch_size, shuffle=True, seed=seed, num_workers=num_workers)

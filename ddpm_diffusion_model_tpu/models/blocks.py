@@ -21,9 +21,17 @@ __all__ = ["group_norm", "ResBlock", "AttnBlock", "Downsample", "Upsample"]
 
 def group_norm(channels: int, num_groups: int = 32, name: Optional[str] = None) -> nn.GroupNorm:
     """GN with num_groups=min(32, channels), eps=1e-6, affine — parity with
-    ``attention.py:38-39``.  Runs in fp32 regardless of activation dtype."""
+    ``attention.py:38-39``.  Runs in fp32 regardless of activation dtype.
+
+    When min(32, C) does not divide C (possible for decoder concat widths
+    with nonstandard base channels — a config the reference's torch GN would
+    crash on) we fall back to the largest divisor of C that is <= 32, so
+    behavior is identical wherever the reference works at all."""
+    groups = min(num_groups, channels)
+    while channels % groups:
+        groups -= 1
     return nn.GroupNorm(
-        num_groups=min(num_groups, channels),
+        num_groups=groups,
         epsilon=1e-6,
         use_bias=True,
         use_scale=True,

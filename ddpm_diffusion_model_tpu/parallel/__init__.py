@@ -1,0 +1,8 @@
+from .mesh import (  # noqa: F401
+    batch_sharding,
+    host_local_batch_to_global,
+    initialize_distributed,
+    make_mesh,
+    replicated,
+)
+from .sharding import fsdp_leaf_spec, place_state, state_sharding  # noqa: F401

@@ -33,21 +33,20 @@ __all__ = [
     "mirror_checkpoint",
 ]
 
-_sync_checkpointer = None
-_async_checkpointer = None
+_checkpointer = None
 
 
-def _get_checkpointer(use_async: bool):
+def _get_checkpointer():
+    # One AsyncCheckpointer for everything: orbax's "sync" Checkpointer
+    # finalizes (tmp-dir -> final rename) on a background thread with no
+    # wait handle, so the async variant + explicit wait is the only way to
+    # know the checkpoint is durable before writing the meta sidecar.
     import orbax.checkpoint as ocp
 
-    global _sync_checkpointer, _async_checkpointer
-    if use_async:
-        if _async_checkpointer is None:
-            _async_checkpointer = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
-        return _async_checkpointer
-    if _sync_checkpointer is None:
-        _sync_checkpointer = ocp.StandardCheckpointer()
-    return _sync_checkpointer
+    global _checkpointer
+    if _checkpointer is None:
+        _checkpointer = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+    return _checkpointer
 
 
 def _state_to_saveable(state: TrainState) -> Dict[str, Any]:
@@ -76,15 +75,18 @@ def save_checkpoint(
     ``extra`` mirrors the reference's extra dict ({"epoch", "global_step"},
     ``chekpoints.py:5-13``); ``configs`` holds to_dict()'d configs.
     """
+    import orbax.checkpoint as ocp
+
     path = os.path.abspath(path)
-    ckptr = _get_checkpointer(use_async)
+    ckptr = _get_checkpointer()
     if os.path.exists(path):
         import shutil
 
         shutil.rmtree(path)
-    ckptr.save(path, _state_to_saveable(state))
-    if use_async:
-        ckptr.wait_until_finished()  # cheap here; async benefit needs managers
+    ckptr.save(path, args=ocp.args.StandardSave(_state_to_saveable(state)))
+    # the array write itself overlapped with compute; wait for the atomic
+    # rename so the meta sidecar lands inside a durable directory
+    ckptr.wait_until_finished()
     meta = {
         "epoch": int(epoch),
         "global_step": int(state.step),
@@ -106,7 +108,7 @@ def load_checkpoint(
     template (same configs) — the schedule-tables-from-config contract.
     """
     path = os.path.abspath(path)
-    ckptr = _get_checkpointer(False)
+    ckptr = _get_checkpointer()
     target = _state_to_saveable(template)
     abstract = jax.tree.map(
         lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)

@@ -29,8 +29,11 @@ Params = Any
 
 
 def ema_init(params: Params) -> Params:
-    """Shadow starts as a copy of the params (``ema.py:9-13``)."""
-    return jax.tree.map(lambda p: p, params)
+    """Shadow starts as a copy of the params (``ema.py:9-13``).
+
+    A REAL copy — the train step donates the whole state, and aliased
+    params/ema buffers would be donated twice."""
+    return jax.tree.map(lambda p: jnp.array(p, copy=True), params)
 
 
 def ema_update(ema_params: Params, params: Params, decay) -> Params:
@@ -87,5 +90,6 @@ def ema_health(
 
 
 def ema_reinit_from_params(params: Params) -> Params:
-    """Repair: restart the shadow from the current params (``ema.py:88-94``)."""
-    return jax.tree.map(lambda p: p, params)
+    """Repair: restart the shadow from the current params (``ema.py:88-94``).
+    Copies for the same donation-aliasing reason as :func:`ema_init`."""
+    return jax.tree.map(lambda p: jnp.array(p, copy=True), params)

@@ -68,23 +68,33 @@ def train_one_epoch(
     epoch_header_printed: list = None,
 ) -> Tuple[TrainState, float, int, int]:
     """One pass over the loader.  Returns (state, avg_loss, n_batches, n_images)."""
-    total_loss, n_batches, n_images = 0.0, 0, 0
+    n_batches, n_images = 0, 0
+    loss_acc = None  # accumulated ON DEVICE; fetched once per epoch — the
+    #                  per-step .item() sync the reference pays is the exact
+    #                  pipeline stall we avoid (steps stay async between logs)
+    step0 = int(jax.device_get(state.step))
     timer = StepTimer()
 
-    for i, batch in enumerate(dataloader):
-        if max_batches is not None and i >= max_batches:
-            break
-        x = _as_batch_array(batch)
-        timer.reset()
-        state, metrics = train_step(state, jnp.asarray(x))
+    def _host_batches():
+        for i, batch in enumerate(dataloader):
+            if max_batches is not None and i >= max_batches:
+                return
+            yield _as_batch_array(batch)
 
-        step_now = int(jax.device_get(state.step))
-        loss_val = float(jax.device_get(metrics["loss"]))
-        total_loss += loss_val
+    from ..data.loader import device_prefetch
+
+    for x_dev, _ in device_prefetch(_host_batches(), size=2):
+        x_shape0 = x_dev.shape[0]
+        timer.reset()
+        state, metrics = train_step(state, x_dev)
+
+        loss_acc = metrics["loss"] if loss_acc is None else loss_acc + metrics["loss"]
         n_batches += 1
-        n_images += x.shape[0]
+        n_images += x_shape0
+        step_now = step0 + n_batches  # train_step advances exactly once
 
         if log_every and (step_now % log_every == 0):
+            loss_val = float(jax.device_get(metrics["loss"]))
             dt_ms = timer.mark(metrics["loss"])
             if epoch_header_printed is not None and not epoch_header_printed[0]:
                 print("┆ In-epoch statistics")
@@ -108,7 +118,7 @@ def train_one_epoch(
                     jax.device_get(
                         probe_fn(
                             state.params,
-                            jnp.asarray(x),
+                            x_dev,
                             tuple(int(t) for t in probe_timesteps),
                             jax.random.fold_in(jax.random.key(0), step_now),
                         )
@@ -129,7 +139,9 @@ def train_one_epoch(
                 )
             )
 
-    avg_loss = total_loss / max(1, n_batches)
+    avg_loss = (
+        float(jax.device_get(loss_acc)) / n_batches if n_batches else 0.0
+    )
     return state, avg_loss, n_batches, n_images
 
 

@@ -99,8 +99,13 @@ def init_train_state(
     seed: int = 0,
     tx: Optional[optax.GradientTransformation] = None,
 ) -> Tuple[TrainState, optax.GradientTransformation]:
-    """Fresh state (step 0, EMA = params copy)."""
+    """Fresh state (step 0, EMA = params copy).
+
+    Params are deep-copied into the state: the train step donates the whole
+    state, and donating the caller's own param buffers would silently delete
+    them out from under the caller."""
     tx = tx if tx is not None else make_optimizer(cfg)
+    params = jax.tree.map(lambda p: jnp.asarray(p).copy(), params)
     return (
         TrainState(
             step=jnp.asarray(0, jnp.int32),

@@ -74,25 +74,33 @@ def make_train_step(
     def train_step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
         rng_next, k_step = jax.random.split(state.rng)
 
-        B = batch.shape[0]
-        micro = batch.reshape(accum, B // accum, *batch.shape[1:])
-        keys = jax.random.split(k_step, accum)
-
         grad_fn = jax.value_and_grad(loss_fn)
 
-        def body(carry, inp):
-            loss_acc, g_acc = carry
-            x, k = inp
-            loss, g = grad_fn(state.params, x, k)
-            g_acc = jax.tree.map(lambda a, b: a + b.astype(jnp.float32), g_acc, g)
-            return (loss_acc + loss, g_acc), None
+        if accum == 1:
+            # fast path: no scan wrapper around the single microbatch
+            loss, grads = grad_fn(state.params, batch, k_step)
+        else:
+            B = batch.shape[0]
+            micro = batch.reshape(accum, B // accum, *batch.shape[1:])
+            keys = jax.random.split(k_step, accum)
 
-        zero_g = jax.tree.map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), state.params
-        )
-        (loss_sum, grad_sum), _ = jax.lax.scan(body, (0.0, zero_g), (micro, keys))
-        loss = loss_sum / accum
-        grads = jax.tree.map(lambda g: g / accum, grad_sum)
+            def body(carry, inp):
+                loss_acc, g_acc = carry
+                x, k = inp
+                loss, g = grad_fn(state.params, x, k)
+                g_acc = jax.tree.map(
+                    lambda a, b: a + b.astype(jnp.float32), g_acc, g
+                )
+                return (loss_acc + loss, g_acc), None
+
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            (loss_sum, grad_sum), _ = jax.lax.scan(
+                body, (0.0, zero_g), (micro, keys)
+            )
+            loss = loss_sum / accum
+            grads = jax.tree.map(lambda g: g / accum, grad_sum)
 
         grad_norm = optax.global_norm(grads)  # pre-clip, like the reference
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

@@ -1,1 +1,9 @@
 from .images import make_grid, save_image, save_image_grid  # noqa: F401
+from .config import ExperimentConfig, PRESETS, get_preset  # noqa: F401
+from .debugging import (  # noqa: F401
+    assert_tree_finite,
+    enable_nan_debugging,
+    nan_debugging,
+    tree_all_finite,
+)
+from .summary import model_summary, param_table  # noqa: F401

@@ -1,0 +1,113 @@
+"""Experiment configs: the typed bundle the reference never had.
+
+The reference's "config system" is 30+ keyword arguments per entry point and
+notebook cells as config records (SURVEY.md §5).  Here one frozen
+:class:`ExperimentConfig` bundles the three typed sub-configs plus run
+settings, serializes to/from JSON (stored inside checkpoints' meta), and
+ships the three notebook presets as named factories.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Any, Dict, Optional
+
+from ..models.unet import (
+    UNetConfig,
+    unet_256x256_config,
+    unet_64x64_config,
+    unet_64x64_low_config,
+)
+from ..ops.schedules import DiffusionConfig
+from ..training.state import TrainConfig
+
+__all__ = ["ExperimentConfig", "PRESETS", "get_preset"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    model: UNetConfig
+    diffusion: DiffusionConfig
+    train: TrainConfig
+    # run settings
+    run_name: str = "ddpm"
+    img_size: int = 64
+    batch_size: int = 128
+    epochs: int = 50
+    sample_every: int = 5
+    sample_n: int = 36
+    save_every: int = 5
+    log_every: int = 0
+    seed: int = 0
+    remat: bool = False
+
+    def to_dict(self) -> Dict[str, Any]:
+        d = dataclasses.asdict(self)
+        return d
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ExperimentConfig":
+        d = dict(d)
+        d["model"] = UNetConfig.from_dict(d["model"])
+        d["diffusion"] = DiffusionConfig.from_dict(d["diffusion"])
+        d["train"] = TrainConfig.from_dict(d["train"])
+        return cls(**d)
+
+    def to_json(self) -> str:
+        return json.dumps(self.to_dict(), indent=2)
+
+    @classmethod
+    def from_json(cls, s: str) -> "ExperimentConfig":
+        return cls.from_dict(json.loads(s))
+
+
+def _preset_low() -> ExperimentConfig:
+    """The Low-GPU notebook run (BASELINE.md rows 1/2/5/7)."""
+    return ExperimentConfig(
+        model=unet_64x64_low_config(),
+        diffusion=DiffusionConfig(T=1000, schedule="linear", img_size=64),
+        train=TrainConfig(base_lr=2e-4, warmup_steps=1000, grad_accum_steps=1,
+                          ema_decay=0.9995),
+        run_name="celeba64_low", img_size=64, batch_size=32, epochs=10,
+    )
+
+
+def _preset_attn() -> ExperimentConfig:
+    """The Attention notebook run (BASELINE.md row 3)."""
+    return ExperimentConfig(
+        model=unet_64x64_config(),
+        diffusion=DiffusionConfig(
+            T=1000, schedule="linear", img_size=64, dynamic_threshold=0.95
+        ),
+        train=TrainConfig(base_lr=2e-4, warmup_steps=1000, grad_accum_steps=1,
+                          ema_decay=0.9997),
+        run_name="celeba64_attn", img_size=64, batch_size=128, epochs=50,
+    )
+
+
+def _preset_hq256() -> ExperimentConfig:
+    """The CelebA-HQ-256 notebook run (BASELINE.md rows 4/6/8)."""
+    return ExperimentConfig(
+        model=unet_256x256_config(),
+        diffusion=DiffusionConfig(
+            T=1000, schedule="linear", img_size=256, dynamic_threshold=0.995
+        ),
+        train=TrainConfig(base_lr=2e-4, warmup_steps=1000, grad_accum_steps=8,
+                          ema_decay=0.9997),
+        run_name="celebahq256", img_size=256, batch_size=64, epochs=50,
+        remat=True,
+    )
+
+
+PRESETS = {
+    "celeba64_low": _preset_low,
+    "celeba64_attn": _preset_attn,
+    "celebahq256": _preset_hq256,
+}
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]()

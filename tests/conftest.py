@@ -1,17 +1,54 @@
 """Test harness: force an 8-device virtual CPU mesh before JAX initializes.
 
 Mirrors SURVEY.md §4's implication: tests must run without TPU hardware, and
-multi-device (DP) paths are validated on a virtual CPU mesh via
+multi-device (DP/FSDP) paths are validated on a virtual CPU mesh via
 ``--xla_force_host_platform_device_count=8``.
+
+This environment's ``sitecustomize`` registers a TPU PJRT plugin (gated on
+``PALLAS_AXON_POOL_IPS``) and imports jax at interpreter startup — too early
+for any in-process fix.  So at session start we re-exec the interpreter once
+with a sanitized environment; the re-exec'd process boots straight onto the
+8-device CPU backend.  Global capture must be suspended around the exec or
+the child inherits pytest's redirected fds and its output vanishes.
 """
 
 import os
 import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+_GUARD = "_DDPM_TPU_TESTS_REEXECED"
+
+
+def _needs_cpu_sandbox() -> bool:
+    if os.environ.get(_GUARD):
+        return False
+    return bool(os.environ.get("PALLAS_AXON_POOL_IPS")) or (
+        os.environ.get("JAX_PLATFORMS", "") not in ("", "cpu")
+    )
+
+
+def pytest_sessionstart(session):
+    if not _needs_cpu_sandbox():
+        return
+    capman = session.config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.suspend_global_capture(in_=True)
+    env = dict(os.environ)
+    env[_GUARD] = "1"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # disables the TPU plugin registration
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
+if not _needs_cpu_sandbox():
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    _flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in _flags:
+        os.environ["XLA_FLAGS"] = (
+            _flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 # repo root importable regardless of pytest invocation dir
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

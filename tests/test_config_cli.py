@@ -1,0 +1,96 @@
+"""ExperimentConfig round-trips, presets, and the CLI (train on synthetic
+data end-to-end, then sample from the checkpoint)."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from ddpm_diffusion_model_tpu.utils.config import ExperimentConfig, get_preset
+
+
+def test_presets_exist_and_match_baseline_configs():
+    low = get_preset("celeba64_low")
+    assert low.model.base_channels == 96
+    assert low.model.attn_resolutions == (8,)
+    assert low.train.ema_decay == 0.9995
+    assert low.batch_size == 32
+
+    attn = get_preset("celeba64_attn")
+    assert attn.model.base_channels == 128
+    assert attn.model.attn_resolutions == (16, 8)
+    assert attn.diffusion.dynamic_threshold == 0.95
+    assert attn.batch_size == 128
+
+    hq = get_preset("celebahq256")
+    assert hq.model.channel_mults == (1, 1, 2, 2, 4)
+    assert hq.model.attn_resolutions == (16,)
+    assert hq.diffusion.dynamic_threshold == 0.995
+    assert hq.train.grad_accum_steps == 8
+    assert hq.remat is True
+
+
+def test_config_json_roundtrip():
+    exp = get_preset("celeba64_attn")
+    s = exp.to_json()
+    back = ExperimentConfig.from_json(s)
+    assert back == exp
+
+
+def test_unknown_preset_raises():
+    with pytest.raises(KeyError):
+        get_preset("nope")
+
+
+def test_cli_info(capsys):
+    from ddpm_diffusion_model_tpu.cli import main
+
+    main(["info", "--preset", "celeba64_low"])
+    out = capsys.readouterr().out
+    cfg = json.loads(out)
+    assert cfg["model"]["base_channels"] == 96
+
+
+def test_cli_train_and_sample_roundtrip(tmp_path, capsys, monkeypatch):
+    """Micro train run on synthetic data via the CLI API, then DDIM-sample
+    from the produced checkpoint."""
+    from ddpm_diffusion_model_tpu.cli import main
+    from ddpm_diffusion_model_tpu.utils import config as cfgmod
+
+    # shrink the preset so the test is fast
+    tiny = ExperimentConfig(
+        model=get_preset("celeba64_low").model.__class__(
+            base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+            attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+            img_resolution=8,
+        ),
+        diffusion=get_preset("celeba64_low").diffusion.__class__(T=20, img_size=8),
+        train=get_preset("celeba64_low").train.__class__(
+            base_lr=1e-3, warmup_steps=2, grad_accum_steps=1
+        ),
+        run_name="clitest", img_size=8, batch_size=4, epochs=1,
+        sample_every=10, save_every=1,
+    )
+    cfg_path = str(tmp_path / "exp.json")
+    with open(cfg_path, "w") as f:
+        f.write(tiny.to_json())
+
+    ckpt_dir = str(tmp_path / "ck")
+    main([
+        "train", "--config", cfg_path, "--data", "synthetic",
+        "--synthetic-size", "16", "--ckpt-dir", ckpt_dir, "--no-samples",
+    ])
+    out = capsys.readouterr().out
+    assert "DDPM run: clitest" in out
+    last = os.path.join(ckpt_dir, "clitest_last")
+    assert os.path.isdir(last)
+
+    png = str(tmp_path / "s.png")
+    main([
+        "sample-ddim", "--config", cfg_path, "--ckpt", last, "--n", "4",
+        "--steps", "4", "--out", png, "--ema",
+    ])
+    assert os.path.exists(png)

@@ -1,0 +1,158 @@
+"""Data-layer tests — transforms ([-1,1] range, crop/resize shapes), folder
+dataset with corrupt-image tolerance, zip extraction, seeded subsets,
+loader shuffling/determinism/drop_last, device prefetch.
+Coverage mirrors ``testing/test_data_loading.py`` without network access
+(synthetic PNG fixtures; HF path is import-gated)."""
+
+import os
+import zipfile
+
+import numpy as np
+import pytest
+
+from ddpm_diffusion_model_tpu.data import (
+    ArrayDataset,
+    DataLoader,
+    ImageFolderDataset,
+    SubsetDataset,
+    create_subset_dataloader,
+    denormalize,
+    device_prefetch,
+    ensure_extracted,
+    get_celeba_loader_from_zip,
+    make_celeba_transform,
+)
+
+
+@pytest.fixture(scope="module")
+def img_root(tmp_path_factory):
+    from PIL import Image
+
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.default_rng(0)
+    for sub in ("a", "b"):
+        os.makedirs(root / sub, exist_ok=True)
+        for i in range(6):
+            arr = (rng.random((178, 218, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(root / sub / f"{sub}{i}.jpg")
+    # one corrupt file
+    with open(root / "a" / "broken.png", "wb") as f:
+        f.write(b"not a real png")
+    return str(root)
+
+
+def test_transform_range_and_shape(img_root):
+    from PIL import Image
+
+    t = make_celeba_transform(img_size=64, crop=178)
+    img = Image.open(os.path.join(img_root, "a", "a0.jpg"))
+    out = t(img)
+    assert out.shape == (64, 64, 3)
+    assert out.dtype == np.float32
+    assert out.min() >= -1.0 and out.max() <= 1.0
+    # mid-gray maps to ~0
+    gray = Image.new("RGB", (200, 200), (128, 128, 128))
+    np.testing.assert_allclose(t(gray).mean(), 0.0039, atol=0.01)
+
+
+@pytest.mark.parametrize("size", [32, 64, 128])
+def test_transform_size_sweep(img_root, size):
+    from PIL import Image
+
+    t = make_celeba_transform(img_size=size, crop=178, initial_resize=178)
+    out = t(Image.open(os.path.join(img_root, "b", "b1.jpg")))
+    assert out.shape == (size, size, 3)
+
+
+def test_denormalize():
+    x = np.array([-1.0, 0.0, 1.0, 2.0])
+    np.testing.assert_allclose(denormalize(x), [0.0, 0.5, 1.0, 1.0])
+
+
+def test_folder_dataset_corrupt_next(img_root):
+    ds = ImageFolderDataset(img_root, make_celeba_transform(32), on_corrupt="next")
+    assert len(ds) == 13  # 12 good + 1 broken
+    # find broken index and ensure it yields a valid neighbor image
+    broken_idx = next(i for i, p in enumerate(ds.paths) if "broken" in p)
+    x, y = ds[broken_idx]
+    assert x.shape == (32, 32, 3) and np.isfinite(x).all()
+
+
+def test_folder_dataset_corrupt_zeros(img_root):
+    ds = ImageFolderDataset(
+        img_root, make_celeba_transform(32), on_corrupt="zeros", img_size=32
+    )
+    broken_idx = next(i for i, p in enumerate(ds.paths) if "broken" in p)
+    x, _ = ds[broken_idx]
+    np.testing.assert_array_equal(x, 0.0)
+
+
+def test_zip_loader_end_to_end(img_root, tmp_path):
+    zp = str(tmp_path / "celeba.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        for dp, _dn, files in os.walk(img_root):
+            for fn in files:
+                if fn.endswith(".jpg"):
+                    full = os.path.join(dp, fn)
+                    zf.write(full, os.path.relpath(full, img_root))
+    loader = get_celeba_loader_from_zip(
+        zp, extract_dir=str(tmp_path / "ex"), img_size=32, batch_size=4,
+        num_workers=2,
+    )
+    x, y = next(iter(loader))
+    assert x.shape == (4, 32, 32, 3)
+    assert x.min() >= -1 and x.max() <= 1
+    # idempotent extraction
+    ensure_extracted(zp, str(tmp_path / "ex"))
+
+
+def test_subset_seeded_and_capped():
+    data = np.arange(50, dtype=np.float32).reshape(50, 1, 1, 1)
+    ds = ArrayDataset(np.broadcast_to(data, (50, 4, 4, 3)).copy())
+    s1 = SubsetDataset(ds, max_samples=10, seed=1)
+    s2 = SubsetDataset(ds, max_samples=10, seed=1)
+    s3 = SubsetDataset(ds, max_samples=10, seed=2)
+    assert len(s1) == 10
+    np.testing.assert_array_equal(s1.indices, s2.indices)
+    assert not np.array_equal(s1.indices, s3.indices)
+    assert len(set(s1.indices.tolist())) == 10  # no replacement
+
+
+def test_loader_batching_shuffle_determinism():
+    n = 37
+    arr = np.arange(n, dtype=np.float32).reshape(n, 1, 1, 1)
+    ds = ArrayDataset(np.broadcast_to(arr, (n, 2, 2, 3)).copy())
+
+    dl = DataLoader(ds, 8, shuffle=True, seed=5, num_workers=2)
+    assert len(dl) == 4  # drop_last
+    ep0 = np.concatenate([x[..., 0, 0, 0] for x, _ in dl])
+    ep1 = np.concatenate([x[..., 0, 0, 0] for x, _ in dl])
+    assert not np.array_equal(ep0, ep1)  # reshuffled across epochs
+
+    dl2 = DataLoader(ds, 8, shuffle=True, seed=5, num_workers=2)
+    ep0b = np.concatenate([x[..., 0, 0, 0] for x, _ in dl2])
+    np.testing.assert_array_equal(ep0, ep0b)  # same seed -> same order
+
+    dl3 = DataLoader(ds, 8, shuffle=False, drop_last=False, num_workers=2)
+    all_vals = np.concatenate([x[..., 0, 0, 0] for x, _ in dl3])
+    np.testing.assert_array_equal(all_vals, np.arange(n, dtype=np.float32))
+    assert len(dl3) == 5
+
+
+def test_create_subset_dataloader_from_array():
+    arr = np.random.default_rng(0).random((40, 4, 4, 3)).astype(np.float32)
+    dl = create_subset_dataloader(arr, batch_size=4, max_samples=12, seed=3,
+                                  num_workers=2)
+    batches = list(dl)
+    assert len(batches) == 3
+    assert batches[0][0].shape == (4, 4, 4, 3)
+
+
+def test_device_prefetch():
+    import jax
+
+    arr = np.random.default_rng(1).random((16, 2, 2, 3)).astype(np.float32)
+    dl = DataLoader(ArrayDataset(arr), 4, shuffle=False, num_workers=1)
+    out = list(device_prefetch(iter(dl), size=2))
+    assert len(out) == 4
+    assert isinstance(out[0][0], jax.Array)

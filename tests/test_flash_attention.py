@@ -1,0 +1,86 @@
+"""Pallas flash-attention numerics vs the XLA reference (interpret mode on
+CPU; the same kernel compiles with Mosaic on TPU).  Forward tolerance at
+fp32/bf16, gradient check against the XLA implementation."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from ddpm_diffusion_model_tpu.ops.attention import attention_xla
+from ddpm_diffusion_model_tpu.ops.flash_attention import flash_attention
+
+K = jax.random.key
+
+
+def _rand_qkv(key, shape, dtype=jnp.float32):
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, shape, dtype)
+    k = jax.random.normal(k2, shape, dtype)
+    v = jax.random.normal(k3, shape, dtype)
+    return q, k, v
+
+
+@pytest.mark.parametrize("shape", [
+    (2, 2, 64, 32),     # 8x8 map, low config
+    (1, 4, 256, 64),    # 16x16 map, attention config
+    (1, 1, 512, 64),    # multi-block q and kv loop
+])
+def test_flash_matches_xla_fp32(shape):
+    q, k, v = _rand_qkv(K(0), shape)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_flash_matches_xla_bf16():
+    q, k, v = _rand_qkv(K(1), (2, 2, 256, 64), jnp.bfloat16)
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    ref = attention_xla(q, k, v)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
+
+
+def test_flash_gradients_match_xla():
+    q, k, v = _rand_qkv(K(2), (1, 2, 64, 32))
+
+    def loss_flash(q, k, v):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(flash_attention(q, k, v) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attention_xla(q, k, v) ** 2)
+
+    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
+
+
+def test_flash_nonsquare_head_count():
+    q, k, v = _rand_qkv(K(3), (3, 8, 64, 16))
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5, rtol=2e-5)
+
+
+def test_attn_block_pallas_impl_matches_xla():
+    """AttnBlock(attn_impl='pallas') == AttnBlock(attn_impl='xla')."""
+    from ddpm_diffusion_model_tpu.models import AttnBlock
+
+    x = jax.random.normal(K(4), (2, 16, 16, 64))
+    blk_x = AttnBlock(num_heads=2, head_dim=32, dtype=jnp.float32, attn_impl="xla")
+    params = blk_x.init(K(5), x)
+    blk_p = AttnBlock(num_heads=2, head_dim=32, dtype=jnp.float32, attn_impl="pallas")
+    ref = blk_x.apply(params, x)
+    with pltpu.force_tpu_interpret_mode():
+        out = blk_p.apply(params, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-5)
