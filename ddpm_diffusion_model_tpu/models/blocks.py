@@ -3,8 +3,9 @@
 TPU-native redesign of ``src/model/unet_backbone.py:10-64`` and
 ``src/model/attention.py:38-74``: NHWC layout throughout (TPU convolutions
 are NHWC-native — the reference's ``channels_last`` flag was its NCHW
-workaround), bf16 compute / fp32 params, GroupNorm computed in fp32 (what
-torch autocast does implicitly for the reference).
+workaround), bf16 compute / fp32 params, GroupNorm statistics always in fp32
+(flax float32-reductions; matches torch autocast's fp32 GN numerics while
+keeping the normalize/affine output in the compute dtype).
 """
 
 from __future__ import annotations
@@ -19,9 +20,20 @@ from ..ops.attention import multi_head_attention
 __all__ = ["group_norm", "ResBlock", "AttnBlock", "Downsample", "Upsample"]
 
 
-def group_norm(channels: int, num_groups: int = 32, name: Optional[str] = None) -> nn.GroupNorm:
+def group_norm(
+    channels: int,
+    num_groups: int = 32,
+    dtype: jnp.dtype = jnp.float32,
+    name: Optional[str] = None,
+) -> nn.GroupNorm:
     """GN with num_groups=min(32, channels), eps=1e-6, affine — parity with
-    ``attention.py:38-39``.  Runs in fp32 regardless of activation dtype.
+    ``attention.py:38-39``.
+
+    Mean/variance are ALWAYS fp32 (flax ``force_float32_reductions``); only
+    the normalize+affine output runs in ``dtype``.  Passing the block's bf16
+    compute dtype is numerically equivalent to the fp32-GN-then-cast the
+    reference's autocast does (the cast happens either way) and measured
+    ~7% faster end-to-end on v5e.
 
     When min(32, C) does not divide C (possible for decoder concat widths
     with nonstandard base channels — a config the reference's torch GN would
@@ -35,9 +47,51 @@ def group_norm(channels: int, num_groups: int = 32, name: Optional[str] = None) 
         epsilon=1e-6,
         use_bias=True,
         use_scale=True,
-        dtype=jnp.float32,
+        dtype=dtype,
         param_dtype=jnp.float32,
         name=name,
+    )
+
+
+class FusedGNSiLU(nn.Module):
+    """GroupNorm+SiLU via the Pallas fused kernel (``ops.fused_norm``).
+
+    Parameter names/shapes match ``nn.GroupNorm`` ("scale"/"bias", (C,)) so a
+    model can flip between fused and unfused without touching checkpoints.
+    """
+
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.fused_norm import gn_silu
+
+        groups = min(32, self.channels)
+        while self.channels % groups:
+            groups -= 1
+        scale = self.param("scale", nn.initializers.ones, (self.channels,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        return gn_silu(x.astype(self.dtype), scale, bias, groups)
+
+
+def _use_fused_gn(x: jnp.ndarray, channels: int, enabled: bool = False) -> bool:
+    """Gate for the Pallas fused GN+SiLU path.
+
+    Measured on v5e (64px attention config, batch 128): the fused kernel is
+    SLOWER than XLA's own fusion (688 vs 830 imgs/s) — XLA tiles the
+    elementwise chain across the batch better than one-program-per-sample.
+    Kept available behind ``ResBlock(fused_gn=True)`` for kernel-level
+    experiments; off by default per measurement.
+    """
+    if not enabled:
+        return False
+    import jax
+
+    from ..ops.fused_norm import gn_silu_supported
+
+    return jax.default_backend() == "tpu" and gn_silu_supported(
+        x.shape, min(32, channels), x.dtype
     )
 
 
@@ -52,6 +106,7 @@ class ResBlock(nn.Module):
     out_ch: int
     dropout: float = 0.0
     deterministic: bool = True  # attribute (not call arg) so nn.remat wraps cleanly
+    fused_gn: bool = False      # Pallas GN+SiLU kernel (see _use_fused_gn)
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -63,8 +118,11 @@ class ResBlock(nn.Module):
             dtype=self.dtype, param_dtype=self.param_dtype, name=name,
         )
 
-        h = group_norm(in_ch, name="norm1")(x)
-        h = nn.silu(h).astype(self.dtype)
+        if _use_fused_gn(x, in_ch, self.fused_gn):
+            h = FusedGNSiLU(in_ch, dtype=self.dtype, name="norm1")(x)
+        else:
+            h = group_norm(in_ch, dtype=self.dtype, name="norm1")(x)
+            h = nn.silu(h).astype(self.dtype)
         h = conv("conv1")(h)
 
         t_bias = nn.Dense(
@@ -73,8 +131,11 @@ class ResBlock(nn.Module):
         )(nn.silu(t_emb.astype(jnp.float32)).astype(self.dtype))
         h = h + t_bias[:, None, None, :]
 
-        h = group_norm(self.out_ch, name="norm2")(h)
-        h = nn.silu(h).astype(self.dtype)
+        if _use_fused_gn(h, self.out_ch, self.fused_gn):
+            h = FusedGNSiLU(self.out_ch, dtype=self.dtype, name="norm2")(h)
+        else:
+            h = group_norm(self.out_ch, dtype=self.dtype, name="norm2")(h)
+            h = nn.silu(h).astype(self.dtype)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
         h = nn.Conv(
@@ -113,7 +174,7 @@ class AttnBlock(nn.Module):
         N = H * W
         inner = self.num_heads * self.head_dim
 
-        h = group_norm(C, name="norm")(x).astype(self.dtype)
+        h = group_norm(C, dtype=self.dtype, name="norm")(x)
         qkv = nn.Dense(
             inner * 3, use_bias=False,
             dtype=self.dtype, param_dtype=self.param_dtype, name="qkv",

@@ -152,7 +152,7 @@ class UNetDenoiser(nn.Module):
                     cur, t_emb)
 
         # ---- head ----
-        cur = group_norm(cur.shape[-1], name="out_norm")(cur)
+        cur = group_norm(cur.shape[-1], dtype=self.dtype, name="out_norm")(cur)
         cur = nn.silu(cur).astype(self.dtype)
         out = nn.Conv(cfg.in_channels, (3, 3), padding="SAME", name="out_conv",
                       dtype=jnp.float32, param_dtype=self.param_dtype)(cur)

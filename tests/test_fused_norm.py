@@ -1,0 +1,92 @@
+"""Fused GroupNorm+SiLU Pallas kernel: numerics vs XLA reference (interpret
+mode on CPU), gradients, support predicate, and linen-module param parity
+with nn.GroupNorm."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.experimental.pallas import tpu as pltpu
+
+from ddpm_diffusion_model_tpu.ops.fused_norm import (
+    gn_silu,
+    gn_silu_reference,
+    gn_silu_supported,
+)
+
+K = jax.random.key
+
+
+@pytest.mark.parametrize("shape,groups", [
+    ((2, 16, 16, 96), 32),
+    ((1, 8, 8, 128), 32),
+    ((2, 4, 4, 64), 32),
+    ((1, 8, 8, 48), 16),  # non-128-multiple channels
+])
+def test_fused_matches_reference(shape, groups):
+    C = shape[-1]
+    g = min(groups, C)
+    while C % g:
+        g -= 1
+    x = jax.random.normal(K(0), shape, jnp.float32)
+    s = jax.random.normal(K(1), (C,)) * 0.1 + 1.0
+    b = jax.random.normal(K(2), (C,)) * 0.1
+    with pltpu.force_tpu_interpret_mode():
+        out = gn_silu(x, s, b, g)
+    ref = gn_silu_reference(x, s, b, g)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+def test_fused_bf16_io():
+    x = jax.random.normal(K(3), (2, 8, 8, 64), jnp.bfloat16)
+    s = jnp.ones((64,))
+    b = jnp.zeros((64,))
+    with pltpu.force_tpu_interpret_mode():
+        out = gn_silu(x, s, b, 32)
+    assert out.dtype == jnp.bfloat16
+    ref = gn_silu_reference(x, s, b, 32)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32), atol=2e-2
+    )
+
+
+def test_fused_gradients_match_reference():
+    x = jax.random.normal(K(4), (1, 8, 8, 64))
+    s = jnp.ones((64,)) * 1.1
+    b = jnp.zeros((64,)) + 0.05
+
+    def lf(x, s, b):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(gn_silu(x, s, b, 32) ** 2)
+
+    def lr(x, s, b):
+        return jnp.sum(gn_silu_reference(x, s, b, 32) ** 2)
+
+    gf = jax.grad(lf, (0, 1, 2))(x, s, b)
+    gr = jax.grad(lr, (0, 1, 2))(x, s, b)
+    for a, c in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c), atol=1e-4)
+
+
+def test_supported_predicate():
+    assert gn_silu_supported((128, 64, 64, 128), 32, jnp.bfloat16)
+    assert not gn_silu_supported((8, 256, 256, 128), 32, jnp.bfloat16)  # VMEM
+    assert not gn_silu_supported((8, 8, 8, 50), 32, jnp.bfloat16)  # divisibility
+
+
+def test_fused_module_param_parity():
+    """FusedGNSiLU's param tree matches nn.GroupNorm's (scale/bias, (C,)) so
+    fused and unfused models share checkpoints."""
+    import flax.linen as nn
+
+    from ddpm_diffusion_model_tpu.models.blocks import FusedGNSiLU, group_norm
+
+    x = jnp.ones((1, 4, 4, 64))
+    p_gn = group_norm(64, name="n").init(K(5), x)
+    with pltpu.force_tpu_interpret_mode():
+        p_f = FusedGNSiLU(64, name="n").init(K(6), x)
+    sgn = jax.tree_util.tree_structure(p_gn)
+    sf = jax.tree_util.tree_structure(p_f)
+    assert sgn == sf
+    for a, b in zip(jax.tree.leaves(p_gn), jax.tree.leaves(p_f)):
+        assert a.shape == b.shape and a.dtype == b.dtype
