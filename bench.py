@@ -73,6 +73,9 @@ def main():
     ap.add_argument("--sampler", default="both", choices=["ddpm", "ddim", "both"])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
+    ap.add_argument("--batch", type=int, help="override batch size")
+    ap.add_argument("--accum", type=int, help="override grad-accum steps")
+    ap.add_argument("--remat", choices=["on", "off"], help="override remat")
     args = ap.parse_args()
 
     from ddpm_diffusion_model_tpu.utils.compilation_cache import (
@@ -108,7 +111,12 @@ def main():
         mcfg, res, batch, accum, ema = unet_256x256_config(), 256, 64, 8, 0.9997
         metric = "train_imgs_per_s_celebahq256"
 
-    model = UNetDenoiser(mcfg, dtype=jnp.bfloat16, remat=(args.config == "hq256"))
+    if args.batch:
+        batch = args.batch
+    if args.accum:
+        accum = args.accum
+    use_remat = args.config == "hq256" if args.remat is None else args.remat == "on"
+    model = UNetDenoiser(mcfg, dtype=jnp.bfloat16, remat=use_remat)
     dyn = 0.995 if args.config == "hq256" else None
     sched = make_schedule(
         DiffusionConfig(T=1000, schedule="linear", img_size=res, dynamic_threshold=dyn)

@@ -1,0 +1,173 @@
+"""Minimal sampling service: HTTP endpoint over a loaded checkpoint.
+
+The reference has no serving layer (SURVEY.md §1); this is the deployment
+path for the TPU build: load a checkpoint once, keep the jitted DDIM sampler
+warm, and serve PNG grids / raw tensors over HTTP.  Stdlib-only
+(ThreadingHTTPServer); requests serialize onto the single device queue,
+which is the right behavior for one accelerator.
+
+    python -m ddpm_diffusion_model_tpu.serving --ckpt ck/run_last --port 8000
+    GET /healthz                 -> {"status": "ok", ...}
+    GET /sample?n=4&steps=50&eta=0.0&seed=7&format=png|npy
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+__all__ = ["SamplerService", "make_server", "main"]
+
+
+class SamplerService:
+    """Checkpoint-backed sampler with a warm jit cache."""
+
+    def __init__(self, model, params, sched, img_size: int, use_ema_params=None):
+        self.model = model
+        self.params = use_ema_params if use_ema_params is not None else params
+        self.sched = sched
+        self.img_size = img_size
+        self._lock = threading.Lock()
+
+    @classmethod
+    def from_checkpoint(cls, ckpt_path: str, config_path: Optional[str] = None,
+                        ema: bool = True):
+        import os
+
+        from .cli import _load_state
+        from .utils.config import ExperimentConfig, get_preset
+
+        exp = None
+        meta_path = os.path.join(ckpt_path, "meta.json")
+        if config_path:
+            with open(config_path) as f:
+                exp = ExperimentConfig.from_json(f.read())
+        elif os.path.exists(meta_path):
+            with open(meta_path) as f:
+                meta = json.load(f)
+            if meta.get("configs", {}).get("experiment"):
+                exp = ExperimentConfig.from_dict(meta["configs"]["experiment"])
+        if exp is None:
+            exp = get_preset("celeba64_low")
+        model, sched, state, _ = _load_state(ckpt_path, exp)
+        return cls(
+            model, state.params, sched, exp.img_size,
+            use_ema_params=state.ema_params if ema else None,
+        )
+
+    def sample(self, n: int = 4, steps: int = 50, eta: float = 0.0,
+               seed: int = 0, schedule_kind: str = "t_linear") -> np.ndarray:
+        """(n, H, W, C) float [0,1].  Thread-safe; device work serializes."""
+        import jax
+
+        from .sampling.inference import _ddim_jit
+        from .sampling.loops import to_unit_interval
+        from .sampling.timesteps import build_ddim_schedule
+
+        ts = build_ddim_schedule(
+            schedule_kind, steps, self.sched.T,
+            alphas_cumprod=np.asarray(self.sched.alphas_cumprod),
+        )
+        with self._lock:
+            x, _ = _ddim_jit(
+                self.model, self.params, self.sched, jax.random.key(seed),
+                (n, self.img_size, self.img_size, self.model.config.in_channels),
+                tuple(int(t) for t in ts), eta, None,
+            )
+        return np.asarray(to_unit_interval(x))
+
+
+def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 8000):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            url = urlparse(self.path)
+            if url.path == "/healthz":
+                self._json(200, {
+                    "status": "ok",
+                    "img_size": service.img_size,
+                    "T": service.sched.T,
+                })
+                return
+            if url.path != "/sample":
+                self._json(404, {"error": "unknown path"})
+                return
+            q = {k: v[0] for k, v in parse_qs(url.query).items()}
+            try:
+                n = max(1, min(int(q.get("n", 4)), 64))
+                steps = max(1, min(int(q.get("steps", 50)), 1000))
+                eta = float(q.get("eta", 0.0))
+                seed = int(q.get("seed", 0))
+                fmt = q.get("format", "png")
+                kind = q.get("schedule", "t_linear")
+            except ValueError as e:
+                self._json(400, {"error": f"bad parameter: {e}"})
+                return
+            try:
+                x = service.sample(n=n, steps=steps, eta=eta, seed=seed,
+                                   schedule_kind=kind)
+            except Exception as e:  # surface sampler errors as 500s
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            if fmt == "npy":
+                buf = io.BytesIO()
+                np.save(buf, x)
+                body = buf.getvalue()
+                ctype = "application/octet-stream"
+            else:
+                from PIL import Image
+
+                from .utils.images import make_grid
+
+                grid = make_grid(x)
+                arr = np.clip(grid * 255.0 + 0.5, 0, 255).astype(np.uint8)
+                buf = io.BytesIO()
+                Image.fromarray(arr).save(buf, format="PNG")
+                body = buf.getvalue()
+                ctype = "image/png"
+            self.send_response(200)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+    return ThreadingHTTPServer((host, port), Handler)
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ckpt", required=True)
+    ap.add_argument("--config")
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8000)
+    ap.add_argument("--no-ema", action="store_true")
+    args = ap.parse_args(argv)
+
+    service = SamplerService.from_checkpoint(
+        args.ckpt, config_path=args.config, ema=not args.no_ema
+    )
+    server = make_server(service, args.host, args.port)
+    print(f"[SERVE] sampling service on http://{args.host}:{args.port}")
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

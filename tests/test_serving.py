@@ -1,0 +1,97 @@
+"""Serving layer: health endpoint, PNG/npy sampling, parameter validation,
+concurrent requests."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ddpm_diffusion_model_tpu.models import UNetConfig, UNetDenoiser
+from ddpm_diffusion_model_tpu.ops import DiffusionConfig, make_schedule
+from ddpm_diffusion_model_tpu.serving import SamplerService, make_server
+
+RES = 8
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = UNetConfig(
+        base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+        attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+        img_resolution=RES,
+    )
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    sched = make_schedule(DiffusionConfig(T=20, img_size=RES))
+    params = model.init(jax.random.key(0), jnp.ones((1, RES, RES, 3)), jnp.zeros((1,)))
+    svc = SamplerService(model, params, sched, RES)
+    srv = make_server(svc, "127.0.0.1", 0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=60) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+def test_healthz(server):
+    code, ctype, body = _get(server + "/healthz")
+    assert code == 200
+    data = json.loads(body)
+    assert data["status"] == "ok" and data["img_size"] == RES and data["T"] == 20
+
+
+def test_sample_png(server):
+    code, ctype, body = _get(server + "/sample?n=4&steps=4&seed=3")
+    assert code == 200 and ctype == "image/png"
+    from PIL import Image
+
+    img = Image.open(io.BytesIO(body))
+    assert img.size[0] > RES  # a grid
+
+
+def test_sample_npy_and_determinism(server):
+    code, ctype, b1 = _get(server + "/sample?n=2&steps=4&seed=9&format=npy")
+    assert code == 200 and ctype == "application/octet-stream"
+    x1 = np.load(io.BytesIO(b1))
+    assert x1.shape == (2, RES, RES, 3)
+    assert x1.min() >= 0.0 and x1.max() <= 1.0
+
+    _c, _t, b2 = _get(server + "/sample?n=2&steps=4&seed=9&format=npy")
+    np.testing.assert_array_equal(x1, np.load(io.BytesIO(b2)))
+
+    _c, _t, b3 = _get(server + "/sample?n=2&steps=4&seed=10&format=npy")
+    assert np.abs(x1 - np.load(io.BytesIO(b3))).max() > 1e-6
+
+
+def test_bad_params_rejected(server):
+    import urllib.error
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server + "/sample?n=abc")
+    assert ei.value.code == 400
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server + "/nope")
+    assert ei.value.code == 404
+
+
+def test_concurrent_requests(server):
+    results = []
+
+    def hit(seed):
+        code, _t, body = _get(server + f"/sample?n=1&steps=3&seed={seed}&format=npy")
+        results.append((code, len(body)))
+
+    threads = [threading.Thread(target=hit, args=(i,)) for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4 and all(c == 200 for c, _ in results)
