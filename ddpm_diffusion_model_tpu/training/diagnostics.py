@@ -66,7 +66,9 @@ class StepTimer:
 
     def mark(self, result=None) -> float:
         if result is not None:
-            jax.block_until_ready(result)
+            # device_get, not block_until_ready: the latter can no-op over
+            # remote/tunneled transports, silently timing only dispatch
+            jax.device_get(result)
         return (time.perf_counter() - self.t0) * 1000.0  # ms
 
 

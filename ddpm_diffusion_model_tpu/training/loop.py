@@ -272,7 +272,8 @@ def train_ddpm(
             log_grad_norm=log_grad_norm,
             epoch_header_printed=header_flag,
         )
-        jax.block_until_ready(state.params)
+        # train_one_epoch's device_get of the accumulated loss already drained
+        # the step chain (block_until_ready can no-op over remote transports)
         sec = time.time() - t0
         total_time += sec
         ips = n_images / sec if sec > 0 else 0.0
