@@ -123,19 +123,20 @@ def cmd_train(args):
     state, summary = train_ddpm(
         model, sched, loader,
         train_config=exp.train,
-        epochs=args.epochs or exp.epochs,
+        epochs=args.epochs if args.epochs is not None else exp.epochs,
         max_batches=args.max_batches,
         sample_every=exp.sample_every, sample_n=exp.sample_n,
         img_size=exp.img_size,
         sample_fn=sample_fn if not args.no_samples else None,
         ckpt_dir=args.ckpt_dir, run_name=exp.run_name,
         save_every=exp.save_every, resume_path=args.resume,
-        log_every=args.log_every or exp.log_every,
+        log_every=args.log_every if args.log_every is not None else exp.log_every,
         probe_timesteps=[10, 50, 200, 500] if args.probes else None,
         log_grad_norm=args.probes,
         configs_for_ckpt={"experiment": exp.to_dict()},
     )
-    print(json.dumps({"final_loss": summary["epochs"][-1]["loss"]}))
+    final = summary["epochs"][-1]["loss"] if summary["epochs"] else None
+    print(json.dumps({"final_loss": final}))
 
 
 def cmd_sample_ddpm(args):
@@ -212,7 +213,7 @@ def main(argv=None):
     sp.add_argument("--max-batches", type=int)
     sp.add_argument("--ckpt-dir", default="checkpoints")
     sp.add_argument("--resume")
-    sp.add_argument("--log-every", type=int, default=0)
+    sp.add_argument("--log-every", type=int)
     sp.add_argument("--probes", action="store_true")
     sp.add_argument("--no-samples", action="store_true")
     sp.set_defaults(fn=cmd_train)

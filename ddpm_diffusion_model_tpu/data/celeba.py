@@ -61,31 +61,28 @@ def get_celeba_loaders(
         pass
 
     root = os.path.join(data_dir, "celeba", "img_align_celeba")
-    ds = ImageFolderDataset(
+    probe = ImageFolderDataset(
         root, transform, on_corrupt="next", img_size=img_size, crop=178
     )
-    n = len(ds)
+    all_paths = probe.paths
+    n = len(all_paths)
     n_train = min(162770, int(n * 0.8))
     n_valid = min(19867, max(0, (n - n_train) // 2))
 
-    class _Slice:
-        def __init__(self, base, lo, hi):
-            self.base, self.lo, self.hi = base, lo, hi
+    def mk(paths, sh):
+        # per-split datasets over path slices: the corrupt-neighbor fallback
+        # cannot cross split boundaries
+        ds = ImageFolderDataset(
+            root, transform, on_corrupt="next", img_size=img_size, crop=178,
+            paths=paths,
+        )
+        return DataLoader(ds, batch_size, shuffle=sh, seed=seed,
+                          num_workers=num_workers)
 
-        def __len__(self):
-            return self.hi - self.lo
-
-        def __getitem__(self, i):
-            return self.base[self.lo + i]
-
-    mk = lambda lo, hi, sh: DataLoader(
-        _Slice(ds, lo, hi), batch_size, shuffle=sh, seed=seed,
-        num_workers=num_workers,
-    )
     return (
-        mk(0, n_train, True),
-        mk(n_train, n_train + n_valid, False),
-        mk(n_train + n_valid, n, False),
+        mk(all_paths[:n_train], True),
+        mk(all_paths[n_train : n_train + n_valid], False),
+        mk(all_paths[n_train + n_valid :], False),
     )
 
 

@@ -36,16 +36,18 @@ _IMG_EXTS = (".jpg", ".jpeg", ".png")
 
 
 def ensure_extracted(zip_path: str, extract_dir: str) -> str:
-    """Extract ``zip_path`` into ``extract_dir`` once (skip if populated)."""
+    """Extract ``zip_path`` into ``extract_dir`` once.
+
+    Completion is tracked with a sentinel file written AFTER extractall, so
+    an interrupted extraction is retried instead of silently training on a
+    partial dataset."""
     os.makedirs(extract_dir, exist_ok=True)
-    has_images = any(
-        fn.lower().endswith(_IMG_EXTS)
-        for _root, _dirs, files in os.walk(extract_dir)
-        for fn in files
-    )
-    if not has_images:
+    sentinel = os.path.join(extract_dir, ".extraction_complete")
+    if not os.path.exists(sentinel):
         with zipfile.ZipFile(zip_path) as zf:
             zf.extractall(extract_dir)
+        with open(sentinel, "w") as f:
+            f.write(os.path.basename(zip_path))
     return extract_dir
 
 
@@ -63,13 +65,14 @@ class ImageFolderDataset:
 
     def __init__(
         self,
-        root: str,
+        root: Optional[str],
         transform: Callable,
         on_corrupt: str = "next",
         img_size: int = 64,
         crop: Optional[int] = None,
         initial_resize: Optional[int] = None,
         use_native: bool = True,
+        paths: Optional[Sequence[str]] = None,
     ):
         self.root = root
         self.transform = transform
@@ -77,16 +80,31 @@ class ImageFolderDataset:
         self.img_size = img_size
         self.crop = crop
         self.initial_resize = initial_resize
-        self.paths = sorted(
-            os.path.join(dp, fn)
-            for dp, _dn, files in os.walk(root)
-            for fn in files
-            if fn.lower().endswith(_IMG_EXTS)
-        )
+        if paths is not None:
+            # explicit path list (e.g. a train/valid/test slice) — the
+            # corrupt-neighbor fallback then stays INSIDE the slice
+            self.paths = list(paths)
+        else:
+            self.paths = sorted(
+                os.path.join(dp, fn)
+                for dp, _dn, files in os.walk(root)
+                for fn in files
+                if fn.lower().endswith(_IMG_EXTS)
+            )
         if not self.paths:
             raise FileNotFoundError(f"no images under {root!r}")
+        # the native C++ decode path substitutes the standard CelebA chain,
+        # so it only activates when the transform itself declares that chain
+        # (make_celeba_transform attaches ._celeba_chain) and it matches
+        chain = getattr(transform, "_celeba_chain", None)
         self._native = False
-        if use_native and crop is not None:
+        if (
+            use_native
+            and chain is not None
+            and chain.get("img_size") == img_size
+            and chain.get("crop") == crop
+            and chain.get("initial_resize") == initial_resize
+        ):
             from ..native import native_available
 
             self._native = native_available()

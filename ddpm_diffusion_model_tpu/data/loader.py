@@ -24,6 +24,14 @@ import numpy as np
 __all__ = ["DataLoader", "device_prefetch"]
 
 
+class _ProducerError:
+    """Wraps an exception raised in the producer thread for re-raise in the
+    consuming thread."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class DataLoader:
     """Iterable over (batch_images, batch_labels) NumPy tuples.
 
@@ -86,16 +94,24 @@ class DataLoader:
         stop = threading.Event()
 
         def produce():
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for b in range(nb):
-                    if stop.is_set():
-                        break
-                    chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
-                    items = list(pool.map(self.dataset.__getitem__, chunk))
-                    xs = np.stack([it[0] for it in items]).astype(np.float32)
-                    ys = np.asarray([it[1] for it in items], dtype=np.int32)
-                    out_q.put((xs, ys))
-            out_q.put(None)
+            # the sentinel/error MUST reach the consumer even when the
+            # dataset raises, or the consumer blocks on get() forever
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for b in range(nb):
+                        if stop.is_set():
+                            return
+                        chunk = indices[b * self.batch_size : (b + 1) * self.batch_size]
+                        items = list(pool.map(self.dataset.__getitem__, chunk))
+                        xs = np.stack([it[0] for it in items]).astype(np.float32)
+                        ys = np.asarray([it[1] for it in items], dtype=np.int32)
+                        out_q.put((xs, ys))
+            except BaseException as e:  # noqa: BLE001 — re-raised in consumer
+                out_q.put(_ProducerError(e))
+                return
+            finally:
+                if not stop.is_set():
+                    out_q.put(None)
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()
@@ -104,6 +120,8 @@ class DataLoader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, _ProducerError):
+                    raise item.exc
                 yield item
         finally:
             stop.set()

@@ -54,7 +54,7 @@ def make_celeba_transform(
     smaller edge == size, keeping aspect).
     """
 
-    def transform(img) -> np.ndarray:
+    def transform(img) -> np.ndarray:  # noqa: D401
         if initial_resize is not None:
             w, h = img.size
             if w < h:
@@ -67,6 +67,12 @@ def make_celeba_transform(
             img = resize_pil(img, (img_size, img_size))
         return to_unit_range(img)
 
+    # marker consumed by ImageFolderDataset: the native C++ pipeline is only
+    # a drop-in for THIS exact chain, so it keys on these attributes instead
+    # of guessing from separate arguments
+    transform._celeba_chain = dict(
+        img_size=img_size, crop=crop, initial_resize=initial_resize
+    )
     return transform
 
 

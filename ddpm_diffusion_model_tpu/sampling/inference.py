@@ -239,9 +239,10 @@ def render_denoise_strip_ddim(
 ):
     """DDIM trajectory strip, <=17 frames by default
     (parity: ``ddpim_inference.py:108-197``: 'linear' here means the
-    steps-point t-linear ladder, 'cosine' the 0.5*(1-cos) warp)."""
+    steps-point t-linear ladder, 'cosine' the steps-point 0.5*(1-cos)
+    warp — both use ``steps`` points like the reference strip)."""
     p = ema_params if ema_params is not None else params
-    kind = "t_linear" if schedule_kind == "linear" else "cosine"
+    kind = "t_linear" if schedule_kind == "linear" else "t_cosine"
     ts = build_ddim_schedule(
         kind, steps, sched.T,
         alphas_cumprod=np.asarray(sched.alphas_cumprod),

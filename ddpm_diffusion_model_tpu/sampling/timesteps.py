@@ -10,8 +10,10 @@ Supported kinds (descending indices, always ending at 0):
 
 - ``"t_linear"``    equal spacing in t              (``ddpim_inference.py:47-53``)
 - ``"linear"``      equal spacing, steps+1 points   (``training_utils.py:73-74``)
-- ``"cosine"``      w = 0.5*(1-cos(pi*s)) warp      (``training_utils.py:75-78``,
-                    also the strip's "cosine", ``ddpim_inference.py:148-151``)
+- ``"cosine"``      w = 0.5*(1-cos(pi*s)) warp, steps+1 points
+                    (``training_utils.py:75-78``)
+- ``"t_cosine"``    same warp with ``steps`` points — the strip renderer's
+                    "cosine" variant (``ddpim_inference.py:148-151``)
 - ``"karras"``      power-2 warp idx=(T-1)*(1-s^2)  (``training_utils.py:79-82``)
 - ``"alpha_bar_cosine"``  match alpha-bar targets 1-u by nearest index
                     (``ddpim_inference.py:55-67``; needs ``alphas_cumprod``)
@@ -54,8 +56,9 @@ def build_ddim_schedule(
     elif kind == "linear":
         idx = np.round(np.linspace(T - 1, 0, steps + 1)).astype(np.int64)
         idx = _dedupe_descending(idx)
-    elif kind == "cosine":
-        s = np.linspace(0.0, 1.0, steps + 1)
+    elif kind in ("cosine", "t_cosine"):
+        npts = steps + 1 if kind == "cosine" else steps
+        s = np.linspace(0.0, 1.0, npts)
         w = 0.5 * (1.0 - np.cos(np.pi * s))
         idx = np.round((T - 1) * (1.0 - w)).astype(np.int64)
         idx = _dedupe_descending(idx)

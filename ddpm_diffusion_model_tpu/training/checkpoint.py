@@ -3,8 +3,9 @@
 TPU-native redesign of the reference's single-file ``torch.save`` dict
 (``src/training_loops/chekpoints.py:4-25``): the train-state pytree (params,
 optimizer state, EMA shadow, step, EMA decay, RNG key) is written as an Orbax
-checkpoint directory — sharded arrays save/restore with their shardings, and
-an async mode overlaps the write with training.  A ``meta.json`` sidecar
+checkpoint directory — sharded arrays save/restore with their shardings
+(array serialization overlaps internally; the call returns once the rename
+is durable).  A ``meta.json`` sidecar
 carries epoch/global_step plus the *configs* (diffusion / model / train), so
 schedule tables — deliberately excluded, like the reference's non-persistent
 buffers (``difussion_class.py:46-48``) — are rebuilt from config on load.
@@ -68,7 +69,6 @@ def save_checkpoint(
     epoch: int = 0,
     extra: Optional[Dict[str, Any]] = None,
     configs: Optional[Dict[str, Any]] = None,
-    use_async: bool = False,
 ) -> str:
     """Write the checkpoint directory at ``path`` (replaced if existing).
 
@@ -135,6 +135,25 @@ def load_checkpoint(
     return state, meta
 
 
+def _fast_forward_schedule_counts(opt_state, step):
+    """Set every ScaleByScheduleState.count (the LR-schedule clock) to
+    ``step`` while leaving Adam's bias-correction count at zero."""
+    import optax
+
+    def fix(node):
+        if isinstance(node, optax.ScaleByScheduleState):
+            return optax.ScaleByScheduleState(
+                count=jnp.asarray(step, jnp.int32)
+            )
+        return node
+
+    return jax.tree.map(
+        fix,
+        opt_state,
+        is_leaf=lambda n: isinstance(n, optax.ScaleByScheduleState),
+    )
+
+
 def apply_resume_overrides(
     state: TrainState,
     template: TrainState,
@@ -152,8 +171,13 @@ def apply_resume_overrides(
     schedule inputs here, not state) — see ``loop.train_ddpm``.
     """
     if reset_optimizer_state:
-        state = state.replace(opt_state=template.opt_state)
-        log("[RESUME] optimizer state reset (not loaded).")
+        # Fresh moments (like the reference's new torch optimizer), but the
+        # LR warmup schedule must keep following the GLOBAL step — the
+        # reference drives warmup off global_step (train_one_epoch.py:86-89),
+        # so a mid-run reset must not re-ramp the learning rate.
+        fresh = _fast_forward_schedule_counts(template.opt_state, state.step)
+        state = state.replace(opt_state=fresh)
+        log("[RESUME] optimizer state reset (not loaded); warmup continues from global step.")
     if override_ema_decay is not None:
         state = state.replace(
             ema_decay=jnp.asarray(float(override_ema_decay), jnp.float32)

@@ -64,7 +64,6 @@ def train_one_epoch(
     probe_timesteps: Optional[Sequence[int]] = None,
     log_mem: bool = False,
     log_grad_norm: bool = False,
-    lr_of_step: Optional[Callable[[int], float]] = None,
     epoch_header_printed: list = None,
 ) -> Tuple[TrainState, float, int, int]:
     """One pass over the loader.  Returns (state, avg_loss, n_batches, n_images)."""
