@@ -58,6 +58,7 @@ def train_one_epoch(
     state: TrainState,
     dataloader: Iterable,
     *,
+    batch_sharding=None,
     max_batches: Optional[int] = None,
     log_every: int = 0,
     probe_fn=None,
@@ -82,7 +83,7 @@ def train_one_epoch(
 
     from ..data.loader import device_prefetch
 
-    for x_dev, _ in device_prefetch(_host_batches(), size=2):
+    for x_dev, _ in device_prefetch(_host_batches(), size=2, sharding=batch_sharding):
         x_shape0 = x_dev.shape[0]
         timer.reset()
         state, metrics = train_step(state, x_dev)
@@ -181,8 +182,17 @@ def train_ddpm(
     repair_ema_on_resume: bool = False,
     ema_decay_after_repair: float = 0.9995,
     configs_for_ckpt: Optional[Dict[str, Any]] = None,
+    # multi-chip (the layer the reference never had, SURVEY.md §2.6)
+    mesh=None,
+    fsdp: bool = False,
 ) -> Tuple[TrainState, Dict[str, Any]]:
-    """Full training run.  Returns (final_state, summary)."""
+    """Full training run.  Returns (final_state, summary).
+
+    ``mesh``: a ``jax.sharding.Mesh`` (e.g. ``parallel.make_mesh()``) turns
+    the run data-parallel — the state is placed replicated (or FSDP-sharded
+    with ``fsdp=True``), every batch is device_put with DP sharding, and XLA
+    emits the gradient collectives over ICI.  Single-chip behavior is
+    unchanged when ``mesh`` is None."""
     cfg = train_config or TrainConfig()
     os.makedirs(ckpt_dir, exist_ok=True)
 
@@ -201,6 +211,12 @@ def train_ddpm(
 
     tx = make_optimizer(cfg)
     state, _ = init_train_state(init_params, cfg, seed=init_seed, tx=tx)
+    batch_shd = None
+    if mesh is not None:
+        from ..parallel import batch_sharding, place_state
+
+        state = place_state(state, mesh, fsdp=fsdp)
+        batch_shd = batch_sharding(mesh)
     train_step = make_train_step(model, sched, tx, cfg)
     probe_fn = make_probe_fn(model, sched) if probe_timesteps else None
     lr_schedule = None
@@ -223,6 +239,10 @@ def train_ddpm(
             repair_ema=repair_ema_on_resume,
             ema_decay_after_repair=ema_decay_after_repair,
         )
+        if mesh is not None:
+            from ..parallel import place_state
+
+            state = place_state(state, mesh, fsdp=fsdp)
         if override_lr is not None:
             print(f"[RESUME] override_lr -> {override_lr:.3e}")
         if override_weight_decay is not None:
@@ -263,6 +283,7 @@ def train_ddpm(
             train_step,
             state,
             train_loader,
+            batch_sharding=batch_shd,
             max_batches=max_batches,
             log_every=log_every,
             probe_fn=probe_fn,
