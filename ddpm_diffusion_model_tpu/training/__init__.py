@@ -5,7 +5,7 @@ from .state import (  # noqa: F401
     make_lr_schedule,
     make_optimizer,
 )
-from .step import make_loss_fn, make_probe_fn, make_train_step  # noqa: F401
+from .step import make_loss_fn, make_probe_fn, make_train_step, resolve_weight_fn  # noqa: F401
 from .ema import ema_health, ema_init, ema_reinit_from_params, ema_update  # noqa: F401
 from .checkpoint import (  # noqa: F401
     apply_resume_overrides,

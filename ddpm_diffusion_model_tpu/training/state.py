@@ -42,6 +42,9 @@ class TrainConfig:
     grad_clip: Optional[float] = 1.0
     grad_accum_steps: int = 1
     ema_decay: float = 0.9995
+    # per-timestep loss re-weighting: None|"uniform"|"snr"|"p2"|"min_snr_5"
+    # (the reference's loss_simple weight arg, promoted to a config knob)
+    loss_weighting: Optional[str] = None
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

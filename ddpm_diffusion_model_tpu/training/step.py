@@ -31,14 +31,20 @@ from ..ops.schedules import DiffusionSchedule
 from .ema import ema_update
 from .state import TrainConfig, TrainState, make_lr_schedule
 
-__all__ = ["make_train_step", "make_probe_fn", "make_loss_fn"]
+__all__ = ["make_train_step", "make_probe_fn", "make_loss_fn", "resolve_weight_fn"]
 
 Metrics = Dict[str, jnp.ndarray]
 
 
-def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule):
+def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule, weight_fn=None):
     """(params, x, key) -> scalar L_simple with fresh t ~ U{1..T-1} and
-    fresh noise, dropout active (training mode)."""
+    fresh noise, dropout active (training mode).
+
+    ``weight_fn(t, sched) -> (B,)`` enables per-sample loss re-weighting —
+    the ``weight`` argument of the reference's ``loss_simple``
+    (``difussion_class.py:101,114-115``), which its own training loop never
+    wires up; here it is a first-class TrainConfig knob (see
+    :func:`resolve_weight_fn` for the built-in schemes)."""
 
     def loss_fn(params, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         kt, kn, kd = jax.random.split(key, 3)
@@ -50,9 +56,37 @@ def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule):
                 params, x_t, tt, deterministic=False, rngs={"dropout": kd}
             )
 
-        return loss_simple(sched, eps_fn, x, t, noise)
+        weight = weight_fn(t, sched) if weight_fn is not None else None
+        return loss_simple(sched, eps_fn, x, t, noise, weight=weight)
 
     return loss_fn
+
+
+def resolve_weight_fn(name):
+    """Built-in per-timestep loss weightings.
+
+    - None / "uniform": L_simple (the reference's default)
+    - "snr":  w = SNR(t) = ab/(1-ab) — the 'true' VLB eps-weighting
+    - "p2":   w = 1/(1+SNR(t)) — perception-prioritized (Choi et al.),
+              down-weights the low-noise steps that dominate L_simple
+    - "min_snr_5": w = min(SNR, 5)/SNR — Min-SNR-gamma truncation
+    """
+    if name in (None, "uniform"):
+        return None
+
+    def snr_of(t, sched):
+        ab = jnp.take(sched.alphas_cumprod, jnp.clip(t, 0, sched.T - 1))
+        return ab / (1.0 - ab)
+
+    if name == "snr":
+        return lambda t, sched: snr_of(t, sched)
+    if name == "p2":
+        return lambda t, sched: 1.0 / (1.0 + snr_of(t, sched))
+    if name == "min_snr_5":
+        return lambda t, sched: jnp.minimum(snr_of(t, sched), 5.0) / jnp.maximum(
+            snr_of(t, sched), 1e-8
+        )
+    raise ValueError(f"unknown loss weighting {name!r}")
 
 
 def make_train_step(
@@ -66,7 +100,9 @@ def make_train_step(
     (B divisible by k) and gradients are averaged — numerically the
     reference's loss/k + deferred step."""
 
-    loss_fn = make_loss_fn(model, sched)
+    loss_fn = make_loss_fn(
+        model, sched, weight_fn=resolve_weight_fn(cfg.loss_weighting)
+    )
     accum = max(1, int(cfg.grad_accum_steps))
     lr_schedule = make_lr_schedule(cfg)
 

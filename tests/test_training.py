@@ -295,3 +295,32 @@ def test_train_ddpm_end_to_end_with_resume(setup, tmp_path, capsys):
     assert "[RESUME] loaded" in out2
     assert "override_lr" in out2
     assert int(state2.step) == 6  # resumed at 3, one epoch of 3 batches
+
+
+def test_loss_weighting_schemes(setup):
+    """TrainConfig.loss_weighting wires the reference's per-sample weight
+    path; p2 must down-weight low-noise timesteps."""
+    import jax.numpy as jnp
+
+    from ddpm_diffusion_model_tpu.training import resolve_weight_fn
+
+    _model, sched, _params = setup
+    t = jnp.array([1, sched.T // 2, sched.T - 1])
+    assert resolve_weight_fn(None) is None
+    for name in ("snr", "p2", "min_snr_5"):
+        w = np.asarray(resolve_weight_fn(name)(t, sched))
+        assert w.shape == (3,) and np.all(np.isfinite(w)) and np.all(w > 0)
+    p2 = np.asarray(resolve_weight_fn("p2")(t, sched))
+    assert p2[0] < p2[-1]  # low-noise t gets less weight
+    with pytest.raises(ValueError):
+        resolve_weight_fn("nope")
+
+    # end-to-end: a weighted step runs and differs from uniform
+    cfg_w = TrainConfig(base_lr=1e-3, warmup_steps=None, grad_accum_steps=1,
+                        loss_weighting="p2")
+    tx = make_optimizer(cfg_w)
+    state, _ = init_train_state(_params, cfg_w, tx=tx)
+    step = make_train_step(_model, sched, tx, cfg_w)
+    batch = jax.random.normal(jax.random.key(11), (4, RES, RES, 3)) * 0.3
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
