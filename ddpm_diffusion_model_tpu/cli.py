@@ -113,6 +113,13 @@ def cmd_train(args):
     from .training import train_ddpm
 
     exp = _exp_from_args(args)
+    if getattr(args, "loss_weighting", None):
+        from .utils.config import ExperimentConfig
+
+        exp = ExperimentConfig.from_dict({
+            **exp.to_dict(),
+            "train": {**exp.train.to_dict(), "loss_weighting": args.loss_weighting},
+        })
     model, sched = _build(exp)
     loader = _make_loader(args, exp)
 
@@ -216,6 +223,8 @@ def main(argv=None):
     sp.add_argument("--log-every", type=int)
     sp.add_argument("--probes", action="store_true")
     sp.add_argument("--no-samples", action="store_true")
+    sp.add_argument("--loss-weighting",
+                    choices=["uniform", "snr", "p2", "min_snr_5"])
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("sample-ddpm")

@@ -52,13 +52,15 @@ def test_flash_gradients_match_xla():
     q, k, v = _rand_qkv(K(2), (1, 2, 64, 32))
 
     def loss_flash(q, k, v):
-        with pltpu.force_tpu_interpret_mode():
-            return jnp.sum(flash_attention(q, k, v) ** 2)
+        return jnp.sum(flash_attention(q, k, v) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(attention_xla(q, k, v) ** 2)
 
-    g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    # the context must wrap the grad CALL — the custom-vjp backward kernels
+    # execute during grad evaluation, not inside the primal function body
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(g_flash, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4, rtol=1e-3)
@@ -84,3 +86,19 @@ def test_attn_block_pallas_impl_matches_xla():
     with pltpu.force_tpu_interpret_mode():
         out = blk_p.apply(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-5)
+
+
+def test_flash_gradients_multiblock():
+    """Backward kernels across multiple q and kv blocks (N=512 -> 2x2)."""
+    q, k, v = _rand_qkv(K(6), (1, 2, 512, 32))
+
+    with pltpu.force_tpu_interpret_mode():
+        g_flash = jax.grad(
+            lambda q, k, v: jnp.sum(flash_attention(q, k, v) ** 2),
+            argnums=(0, 1, 2),
+        )(q, k, v)
+    g_ref = jax.grad(
+        lambda q, k, v: jnp.sum(attention_xla(q, k, v) ** 2), argnums=(0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(g_flash, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4, rtol=1e-3)
