@@ -75,6 +75,13 @@ def train_one_epoch(
     step0 = int(jax.device_get(state.step))
     timer = StepTimer()
 
+    # baseline sanity print at step 0 (reference: train_one_epoch.py:48-52 —
+    # the expected eps-MSE of an untrained predictor is E||eps||^2 ~ 1.0)
+    if log_every and step0 == 0 and epoch_header_printed is not None             and not epoch_header_printed[0]:
+        base = float(np.random.default_rng(0).normal(size=(8192,)).var())
+        print("┆ In-epoch statistics")
+        print(f"┆   (baseline)  eps-MSE ~ {base:.3f}  (expected ~1.0)")
+
     def _host_batches():
         for i, batch in enumerate(dataloader):
             if max_batches is not None and i >= max_batches:
