@@ -43,11 +43,25 @@ def ensure_extracted(zip_path: str, extract_dir: str) -> str:
     partial dataset."""
     os.makedirs(extract_dir, exist_ok=True)
     sentinel = os.path.join(extract_dir, ".extraction_complete")
-    if not os.path.exists(sentinel):
-        with zipfile.ZipFile(zip_path) as zf:
-            zf.extractall(extract_dir)
-        with open(sentinel, "w") as f:
-            f.write(os.path.basename(zip_path))
+    if os.path.exists(sentinel):
+        return extract_dir
+    if not os.path.exists(zip_path):
+        # migration / zip-deleted case: trust pre-existing images rather
+        # than crash; a missing-zip + empty-dir combination still errors
+        has_images = any(
+            fn.lower().endswith(_IMG_EXTS)
+            for _r, _d, files in os.walk(extract_dir)
+            for fn in files
+        )
+        if has_images:
+            with open(sentinel, "w") as f:
+                f.write("(adopted existing extraction; zip absent)")
+            return extract_dir
+        raise FileNotFoundError(zip_path)
+    with zipfile.ZipFile(zip_path) as zf:
+        zf.extractall(extract_dir)
+    with open(sentinel, "w") as f:
+        f.write(os.path.basename(zip_path))
     return extract_dir
 
 
@@ -82,7 +96,8 @@ class ImageFolderDataset:
         self.initial_resize = initial_resize
         if paths is not None:
             # explicit path list (e.g. a train/valid/test slice) — the
-            # corrupt-neighbor fallback then stays INSIDE the slice
+            # corrupt-neighbor fallback then stays INSIDE the slice; an
+            # empty slice is legal (e.g. a tiny dataset's valid split)
             self.paths = list(paths)
         else:
             self.paths = sorted(
@@ -91,8 +106,8 @@ class ImageFolderDataset:
                 for fn in files
                 if fn.lower().endswith(_IMG_EXTS)
             )
-        if not self.paths:
-            raise FileNotFoundError(f"no images under {root!r}")
+            if not self.paths:
+                raise FileNotFoundError(f"no images under {root!r}")
         # the native C++ decode path substitutes the standard CelebA chain,
         # so it only activates when the transform itself declares that chain
         # (make_celeba_transform attaches ._celeba_chain) and it matches

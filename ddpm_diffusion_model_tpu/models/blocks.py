@@ -20,6 +20,16 @@ from ..ops.attention import multi_head_attention
 __all__ = ["group_norm", "ResBlock", "AttnBlock", "Downsample", "Upsample"]
 
 
+def _gn_groups(channels: int, num_groups: int = 32) -> int:
+    """min(32, C), falling back to the largest divisor of C (single source
+    of truth for fused and unfused GN paths — they must agree or checkpoints
+    stop being interchangeable)."""
+    groups = min(num_groups, channels)
+    while channels % groups:
+        groups -= 1
+    return groups
+
+
 def group_norm(
     channels: int,
     num_groups: int = 32,
@@ -39,9 +49,7 @@ def group_norm(
     with nonstandard base channels — a config the reference's torch GN would
     crash on) we fall back to the largest divisor of C that is <= 32, so
     behavior is identical wherever the reference works at all."""
-    groups = min(num_groups, channels)
-    while channels % groups:
-        groups -= 1
+    groups = _gn_groups(channels, num_groups)
     return nn.GroupNorm(
         num_groups=groups,
         epsilon=1e-6,
@@ -67,9 +75,7 @@ class FusedGNSiLU(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from ..ops.fused_norm import gn_silu
 
-        groups = min(32, self.channels)
-        while self.channels % groups:
-            groups -= 1
+        groups = _gn_groups(self.channels)
         scale = self.param("scale", nn.initializers.ones, (self.channels,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
         return gn_silu(x.astype(self.dtype), scale, bias, groups)
@@ -91,7 +97,7 @@ def _use_fused_gn(x: jnp.ndarray, channels: int, enabled: bool = False) -> bool:
     from ..ops.fused_norm import gn_silu_supported
 
     return jax.default_backend() == "tpu" and gn_silu_supported(
-        x.shape, min(32, channels), x.dtype
+        x.shape, _gn_groups(channels), x.dtype
     )
 
 

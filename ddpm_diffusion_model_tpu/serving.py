@@ -61,6 +61,14 @@ class SamplerService:
             use_ema_params=state.ema_params if ema else None,
         )
 
+    # shape/ladder are static jit arguments: every distinct (n, steps) pair
+    # is a full XLA compile (minutes over a tunnel).  Requests are therefore
+    # BUCKETED — n rounds up to a power of two, steps snaps to a fixed
+    # ladder — bounding the compile cache at |N_BUCKETS| x |STEP_CHOICES|
+    # entries instead of letting queries mint unbounded recompiles.
+    STEP_CHOICES = (1, 2, 5, 10, 25, 50, 100, 250, 1000)
+    MAX_N = 64
+
     def sample(self, n: int = 4, steps: int = 50, eta: float = 0.0,
                seed: int = 0, schedule_kind: str = "t_linear") -> np.ndarray:
         """(n, H, W, C) float [0,1].  Thread-safe; device work serializes."""
@@ -70,6 +78,10 @@ class SamplerService:
         from .sampling.loops import to_unit_interval
         from .sampling.timesteps import build_ddim_schedule
 
+        n = max(1, min(int(n), self.MAX_N))
+        n_bucket = 1 << (n - 1).bit_length()  # next power of two
+        steps = min(self.STEP_CHOICES, key=lambda s: abs(s - int(steps)))
+
         ts = build_ddim_schedule(
             schedule_kind, steps, self.sched.T,
             alphas_cumprod=np.asarray(self.sched.alphas_cumprod),
@@ -77,10 +89,11 @@ class SamplerService:
         with self._lock:
             x, _ = _ddim_jit(
                 self.model, self.params, self.sched, jax.random.key(seed),
-                (n, self.img_size, self.img_size, self.model.config.in_channels),
+                (n_bucket, self.img_size, self.img_size,
+                 self.model.config.in_channels),
                 tuple(int(t) for t in ts), eta, None,
             )
-        return np.asarray(to_unit_interval(x))
+        return np.asarray(to_unit_interval(x[:n]))
 
 
 def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 8000):

@@ -186,3 +186,46 @@ def test_t_cosine_ladder_point_count():
     tcos = build_ddim_schedule("t_cosine", 20, 1000)  # strip: steps pts
     assert len(tcos) <= len(cos)
     assert tcos[0] == 999 and tcos[-1] == 0
+
+
+def test_ensure_extracted_adopts_when_zip_gone(tmp_path):
+    """Upgrade path: images extracted by an older version (no sentinel) and
+    the zip deleted — adopt the existing extraction instead of crashing."""
+    from PIL import Image
+
+    ex = str(tmp_path / "ex2")
+    os.makedirs(ex)
+    Image.fromarray(np.zeros((8, 8, 3), np.uint8)).save(os.path.join(ex, "a.jpg"))
+    out = ensure_extracted(str(tmp_path / "missing.zip"), ex)
+    assert out == ex
+    assert os.path.exists(os.path.join(ex, ".extraction_complete"))
+    # truly empty dir + missing zip still errors
+    with pytest.raises(FileNotFoundError):
+        ensure_extracted(str(tmp_path / "missing.zip"), str(tmp_path / "empty"))
+
+
+def test_empty_split_slices_allowed(tmp_path):
+    """get_celeba_loaders-style empty valid/test splits must not crash."""
+    from PIL import Image
+
+    root = tmp_path / "imgs2"
+    os.makedirs(root)
+    for i in range(3):
+        Image.fromarray(np.zeros((200, 200, 3), np.uint8)).save(root / f"{i}.png")
+    t = make_celeba_transform(8, crop=178)
+    empty = ImageFolderDataset(str(root), t, img_size=8, crop=178, paths=[])
+    assert len(empty) == 0
+    dl = DataLoader(empty, 4, shuffle=False, drop_last=False, num_workers=1)
+    assert list(dl) == []
+    # implicit (walk) empty root still raises
+    with pytest.raises(FileNotFoundError):
+        ImageFolderDataset(str(tmp_path / "nothing"), t)
+
+
+def test_serving_buckets_bound_compiles():
+    from ddpm_diffusion_model_tpu.serving import SamplerService
+
+    assert SamplerService.STEP_CHOICES[0] == 1
+    # snapping: 47 -> 50, 3 -> 2, 700 -> 1000 (nearest)
+    pick = lambda s: min(SamplerService.STEP_CHOICES, key=lambda c: abs(c - s))
+    assert pick(47) == 50 and pick(3) == 2 and pick(800) == 1000

@@ -256,3 +256,20 @@ def test_unet_low_config_smaller_than_full():
         return sum(int(np.prod(l.shape)) for l in jax.tree.leaves(shapes))
 
     assert nparams(unet_64x64_low_config(), 64) < nparams(unet_64x64_config(), 64)
+
+
+def test_unet_odd_resolution_mismatch_resize():
+    """Odd input resolutions make the stride-2 encoder and x2 decoder
+    disagree spatially — the nearest-resize fix-up branch (reference:
+    unet_backbone.py:202-203) must reconcile them."""
+    cfg = _tiny_cfg(img_resolution=9, attn_resolutions=())
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    x = jax.random.normal(K(30), (1, 9, 9, 3))
+    t = jnp.array([3.0])
+    params = model.init(K(31), x, t)
+    out = model.apply(params, x, t)
+    assert out.shape == (1, 9, 9, 3)
+    assert np.all(np.isfinite(np.asarray(out)))
+    # gradient still flows through the resize
+    g = jax.grad(lambda p: jnp.sum(model.apply(p, x, t) ** 2))(params)
+    assert all(np.isfinite(float(jnp.linalg.norm(l))) for l in jax.tree.leaves(g))
