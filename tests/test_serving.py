@@ -95,3 +95,16 @@ def test_concurrent_requests(server):
     for t in threads:
         t.join()
     assert len(results) == 4 and all(c == 200 for c, _ in results)
+
+
+def test_sampler_error_returns_500(server):
+    """Internal sampler failures surface as HTTP 500 JSON, not a hung
+    connection."""
+    import urllib.error
+
+    # steps snaps to >=1 so force an error via a bad schedule kind
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server + "/sample?n=1&steps=2&schedule=bogus")
+    assert ei.value.code == 500
+    body = json.loads(ei.value.read())
+    assert "error" in body
