@@ -151,6 +151,13 @@ def main():
 
     ips = args.steps * batch / dt
     base = BASELINES[args.config]
+
+    # honest MFU: analytic FLOPs (utils/flops.py) — XLA's cost_analysis
+    # counts a grad-accum scan body once and under-reports by the accum factor
+    from ddpm_diffusion_model_tpu.utils.flops import mfu, train_step_flops
+
+    step_flops = train_step_flops(mcfg, batch)
+    util = mfu(step_flops, dt / args.steps)
     print(
         json.dumps(
             {
@@ -158,6 +165,8 @@ def main():
                 "value": round(ips, 1),
                 "unit": "imgs/s",
                 "vs_baseline": round(ips / base, 2),
+                "mfu_v5e": round(util, 3),
+                "tflop_per_step": round(step_flops / 1e12, 2),
             }
         )
     )

@@ -124,8 +124,9 @@ def cmd_train(args):
     loader = _make_loader(args, exp)
 
     def sample_fn(model_, params_, sched_, *, n, img_size, save_path, seed):
-        ddpm_sample(model_, params_, sched_, n, img_size, seed=seed,
-                    save_path=save_path)
+        # returns per-sample [0,1] images so the loop can score rFID
+        return ddpm_sample(model_, params_, sched_, n, img_size, seed=seed,
+                           save_path=save_path, return_grid=False)
 
     state, summary = train_ddpm(
         model, sched, loader,

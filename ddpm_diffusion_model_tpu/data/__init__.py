@@ -13,3 +13,4 @@ from .celeba import (  # noqa: F401
     get_celeba_loader_from_zip,
     get_celeba_loaders,
 )
+from .synthetic import BlobFacesDataset, blob_faces_array, render_blob_face  # noqa: F401

@@ -45,29 +45,63 @@ def get_celeba_loaders(
     """(train, valid, test) CelebA loaders with the reference transform
     (CenterCrop 178 -> Resize -> [-1,1]).
 
-    Uses torchvision's downloader when available; otherwise expects the
-    aligned images under ``data_dir/celeba/img_align_celeba`` and splits
-    162770/19867/19962 by index like the official partition sizes.
+    Uses torchvision's downloader when available.  Otherwise expects the
+    aligned images under ``data_dir/celeba/img_align_celeba`` and splits by
+    the official ``list_eval_partition.txt`` when present (the same
+    partition torchvision's ``split=`` argument consumes,
+    ``load_data_from_torch.py:13-31``), falling back to index counts
+    matching the official partition sizes (162770/19867/19962).
     """
     transform = make_celeba_transform(img_size=img_size, crop=178)
+    root = os.path.join(data_dir, "celeba", "img_align_celeba")
 
     try:
         import torchvision  # noqa: F401
-
-        return _celeba_via_torchvision(
-            data_dir, img_size, batch_size, num_workers, seed, download, transform
-        )
     except ImportError:
-        pass
+        torchvision = None
+    if torchvision is not None:
+        try:
+            return _celeba_via_torchvision(
+                data_dir, img_size, batch_size, num_workers, seed, download,
+                transform,
+            )
+        except Exception as e:
+            # offline / checksum failure: fall back to a local image root
+            # when one exists (zero-egress environments)
+            if not os.path.isdir(root):
+                raise
+            print(f"[DATA] torchvision CelebA unavailable ({e}); using local root {root}")
 
-    root = os.path.join(data_dir, "celeba", "img_align_celeba")
+    return _celeba_offline_loaders(
+        data_dir, root, transform, img_size, batch_size, num_workers, seed
+    )
+
+
+def _celeba_offline_loaders(
+    data_dir, root, transform, img_size, batch_size, num_workers, seed
+):
+    """Local-folder CelebA with official-partition splits when
+    ``list_eval_partition.txt`` is present."""
     probe = ImageFolderDataset(
         root, transform, on_corrupt="next", img_size=img_size, crop=178
     )
     all_paths = probe.paths
-    n = len(all_paths)
-    n_train = min(162770, int(n * 0.8))
-    n_valid = min(19867, max(0, (n - n_train) // 2))
+
+    partition = _read_eval_partition(os.path.join(data_dir, "celeba"))
+    if partition is not None:
+        by_split = {0: [], 1: [], 2: []}
+        for p in all_paths:
+            by_split.setdefault(partition.get(os.path.basename(p), 0), []).append(p)
+        splits = (by_split[0], by_split[1], by_split[2])
+    else:
+        n = len(all_paths)
+        n_train = min(162770, int(n * 0.8))
+        n_valid = min(19867, max(0, (n - n_train) // 2))
+        splits = (
+            all_paths[:n_train],
+            all_paths[n_train : n_train + n_valid],
+            all_paths[n_train + n_valid :],
+        )
 
     def mk(paths, sh):
         # per-split datasets over path slices: the corrupt-neighbor fallback
@@ -79,11 +113,27 @@ def get_celeba_loaders(
         return DataLoader(ds, batch_size, shuffle=sh, seed=seed,
                           num_workers=num_workers)
 
-    return (
-        mk(all_paths[:n_train], True),
-        mk(all_paths[n_train : n_train + n_valid], False),
-        mk(all_paths[n_train + n_valid :], False),
-    )
+    train_p, valid_p, test_p = splits
+    return (mk(train_p, True), mk(valid_p, False), mk(test_p, False))
+
+
+def _read_eval_partition(celeba_dir: str):
+    """Parse the official ``list_eval_partition.txt`` ("000001.jpg 0" per
+    line; 0=train 1=valid 2=test) if present.  Returns {basename: split_id}
+    or None."""
+    path = os.path.join(celeba_dir, "list_eval_partition.txt")
+    if not os.path.exists(path):
+        return None
+    mapping = {}
+    with open(path) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                try:
+                    mapping[parts[0]] = int(parts[1])
+                except ValueError:
+                    continue
+    return mapping or None
 
 
 def _celeba_via_torchvision(

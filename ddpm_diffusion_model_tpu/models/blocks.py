@@ -166,10 +166,18 @@ class AttnBlock(nn.Module):
     inner = heads*head_dim (inner may differ from channels), SDPA, 1x1
     output projection, residual add.  The qkv/proj 1x1 convs become Dense
     layers over the channel axis (identical math, MXU-friendly).
+
+    ``p_drop`` is torch SDPA's ``dropout_p`` (``attention.py:43,67-70``):
+    dropout on the softmax attention weights, active only when
+    ``deterministic=False``; it routes through the XLA attention path (the
+    Pallas flash kernel has no dropout — matching how torch SDPA itself
+    falls off the flash kernel when dropout is requested).
     """
 
     num_heads: int = 4
     head_dim: int = 64
+    p_drop: float = 0.0
+    deterministic: bool = True
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
@@ -191,7 +199,20 @@ class AttnBlock(nn.Module):
         k = jnp.swapaxes(k, 1, 2)
         v = jnp.swapaxes(v, 1, 2)
 
-        out = multi_head_attention(q, k, v, impl=self.attn_impl)
+        from ..parallel.tp import shard_heads
+
+        q, k, v = shard_heads(q), shard_heads(k), shard_heads(v)
+        if self.p_drop > 0.0 and not self.deterministic:
+            from ..ops.attention import attention_xla
+
+            out = attention_xla(
+                q, k, v,
+                dropout_rate=self.p_drop,
+                dropout_rng=self.make_rng("dropout"),
+            )
+        else:
+            out = multi_head_attention(q, k, v, impl=self.attn_impl)
+        out = shard_heads(out)
         out = jnp.swapaxes(out, 1, 2).reshape(B, N, inner)
         out = nn.Dense(
             C, dtype=self.dtype, param_dtype=self.param_dtype, name="proj",

@@ -49,6 +49,7 @@ class UNetConfig:
     attn_resolutions: Tuple[int, ...] = (16, 8)
     time_embed_dim: int = 512
     dropout: float = 0.0
+    attn_p_drop: float = 0.0  # SDPA attention-weight dropout (attention.py:43)
     num_heads: int = 4
     head_dim: int = 64
     img_resolution: int = 64
@@ -104,6 +105,7 @@ class UNetDenoiser(nn.Module):
         res_kw = dict(dropout=cfg.dropout, deterministic=deterministic, **kw)
         attn_kw = dict(
             num_heads=cfg.num_heads, head_dim=cfg.head_dim,
+            p_drop=cfg.attn_p_drop, deterministic=deterministic,
             attn_impl=self.attn_impl, **kw,
         )
 

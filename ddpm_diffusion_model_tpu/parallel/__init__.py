@@ -6,3 +6,9 @@ from .mesh import (  # noqa: F401
     replicated,
 )
 from .sharding import fsdp_leaf_spec, place_state, state_sharding  # noqa: F401
+from .tp import (  # noqa: F401
+    place_params_tp,
+    shard_heads,
+    tensor_parallel_mesh,
+    tp_param_specs,
+)

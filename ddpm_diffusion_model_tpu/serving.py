@@ -70,8 +70,11 @@ class SamplerService:
     MAX_N = 64
 
     def sample(self, n: int = 4, steps: int = 50, eta: float = 0.0,
-               seed: int = 0, schedule_kind: str = "t_linear") -> np.ndarray:
-        """(n, H, W, C) float [0,1].  Thread-safe; device work serializes."""
+               seed: int = 0, schedule_kind: str = "t_linear"):
+        """Returns ``(images, used)``: (n, H, W, C) float [0,1] plus a dict
+        of the parameters ACTUALLY used after bucketing (``n``, ``steps``),
+        so callers can see when their request was snapped.  Thread-safe;
+        device work serializes."""
         import jax
 
         from .sampling.inference import _ddim_jit
@@ -93,7 +96,9 @@ class SamplerService:
                  self.model.config.in_channels),
                 tuple(int(t) for t in ts), eta, None,
             )
-        return np.asarray(to_unit_interval(x[:n]))
+        used = {"n": int(n), "steps": int(steps), "eta": float(eta),
+                "seed": int(seed), "schedule": schedule_kind}
+        return np.asarray(to_unit_interval(x[:n])), used
 
 
 def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 8000):
@@ -116,6 +121,11 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                     "status": "ok",
                     "img_size": service.img_size,
                     "T": service.sched.T,
+                    # published bucketing contract: steps snap to this ladder,
+                    # n is capped at max_n (actual values echo back per
+                    # request in X-Used-* headers)
+                    "step_choices": list(service.STEP_CHOICES),
+                    "max_n": service.MAX_N,
                 })
                 return
             if url.path != "/sample":
@@ -133,8 +143,8 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                 self._json(400, {"error": f"bad parameter: {e}"})
                 return
             try:
-                x = service.sample(n=n, steps=steps, eta=eta, seed=seed,
-                                   schedule_kind=kind)
+                x, used = service.sample(n=n, steps=steps, eta=eta, seed=seed,
+                                         schedule_kind=kind)
             except Exception as e:  # surface sampler errors as 500s
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
@@ -157,6 +167,10 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
             self.send_response(200)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            # report the snapped parameters actually used (compile-cache
+            # bucketing may differ from the request; never rewrite silently)
+            self.send_header("X-Used-N", str(used["n"]))
+            self.send_header("X-Used-Steps", str(used["steps"]))
             self.end_headers()
             self.wfile.write(body)
 

@@ -12,6 +12,7 @@ from .checkpoint import (  # noqa: F401
     load_checkpoint,
     mirror_checkpoint,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 from .loop import train_ddpm, train_one_epoch  # noqa: F401
 from .diagnostics import StepTimer, device_mem_mb, fmt_hms, profiler_trace  # noqa: F401

@@ -19,7 +19,8 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Any, Dict, Optional, Tuple
+import threading
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -30,11 +31,13 @@ from .state import TrainState
 __all__ = [
     "save_checkpoint",
     "load_checkpoint",
+    "wait_for_checkpoints",
     "apply_resume_overrides",
     "mirror_checkpoint",
 ]
 
 _checkpointer = None
+_pending_finalize: Optional[threading.Thread] = None
 
 
 def _get_checkpointer():
@@ -62,6 +65,20 @@ def _state_to_saveable(state: TrainState) -> Dict[str, Any]:
     }
 
 
+def _finalize_save(path: str, meta: Dict[str, Any],
+                   mirror_dir: Optional[str], fixed_mirror_name: str,
+                   log=None) -> None:
+    """Wait for the async array write + atomic rename, then land the meta
+    sidecar inside the durable directory (and mirror, if asked)."""
+    _get_checkpointer().wait_until_finished()
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f, indent=2)
+    if mirror_dir:
+        dst = mirror_checkpoint(path, mirror_dir, fixed_mirror_name)
+        if dst and log:
+            log(f"└─ [MIRROR] copied -> {dst}")
+
+
 def save_checkpoint(
     path: str,
     state: TrainState,
@@ -69,64 +86,128 @@ def save_checkpoint(
     epoch: int = 0,
     extra: Optional[Dict[str, Any]] = None,
     configs: Optional[Dict[str, Any]] = None,
+    block: bool = True,
+    mirror_dir: Optional[str] = None,
+    fixed_mirror_name: str = "latest_ddpm",
+    log=None,
 ) -> str:
     """Write the checkpoint directory at ``path`` (replaced if existing).
 
     ``extra`` mirrors the reference's extra dict ({"epoch", "global_step"},
     ``chekpoints.py:5-13``); ``configs`` holds to_dict()'d configs.
+
+    With ``block=False`` the call returns as soon as the device->host copy is
+    staged (orbax copies synchronously, so later donated-buffer reuse by the
+    train step is safe) and disk serialization + the meta sidecar + the
+    optional mirror copy overlap the next epoch's compute on a background
+    thread.  Call :func:`wait_for_checkpoints` (or any later save/load, which
+    drain first) before reading the directory.
     """
     import orbax.checkpoint as ocp
 
+    global _pending_finalize
     path = os.path.abspath(path)
+    wait_for_checkpoints()  # drain any in-flight save before starting a new one
     ckptr = _get_checkpointer()
     if os.path.exists(path):
         import shutil
 
         shutil.rmtree(path)
     ckptr.save(path, args=ocp.args.StandardSave(_state_to_saveable(state)))
-    # the array write itself overlapped with compute; wait for the atomic
-    # rename so the meta sidecar lands inside a durable directory
-    ckptr.wait_until_finished()
     meta = {
         "epoch": int(epoch),
         "global_step": int(state.step),
         "extra": extra or {},
         "configs": configs or {},
     }
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
+    if block:
+        _finalize_save(path, meta, mirror_dir, fixed_mirror_name, log)
+    else:
+        _pending_finalize = threading.Thread(
+            target=_finalize_save,
+            args=(path, meta, mirror_dir, fixed_mirror_name, log),
+            daemon=True,
+        )
+        _pending_finalize.start()
     return path
+
+
+def wait_for_checkpoints() -> None:
+    """Block until every previously dispatched async save is durable on disk
+    (array dirs renamed, meta sidecars written, mirrors copied)."""
+    global _pending_finalize
+    if _pending_finalize is not None:
+        _pending_finalize.join()
+        _pending_finalize = None
+    if _checkpointer is not None:
+        _checkpointer.wait_until_finished()
+
+
+_COMPONENTS = ("params", "opt_state", "ema_params", "step", "ema_decay", "rng")
 
 
 def load_checkpoint(
     path: str,
     template: TrainState,
+    components: Optional[Sequence[str]] = None,
 ) -> Tuple[TrainState, Dict[str, Any]]:
     """Restore a state matching ``template``'s structure/shapes/shardings.
 
     Returns (state, meta).  The caller provides a freshly-initialized
     template (same configs) — the schedule-tables-from-config contract.
+
+    ``components`` selects what to restore, mirroring the reference's
+    restore-each-iff-passed semantics (``chekpoints.py:16-25``): e.g.
+    ``("params", "ema_params")`` is a params-only fine-tuning load that
+    keeps the template's fresh optimizer state, step counter and RNG.
+    Unselected components are never read from disk, so their saved
+    shapes/structure may differ from the template (optimizer swaps).
+    ``None`` restores everything.
     """
     path = os.path.abspath(path)
+    wait_for_checkpoints()
     ckptr = _get_checkpointer()
+    sel = _COMPONENTS if components is None else tuple(components)
+    unknown = set(sel) - set(_COMPONENTS)
+    if unknown:
+        raise ValueError(f"unknown checkpoint components: {sorted(unknown)}")
     target = _state_to_saveable(template)
-    abstract = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
-        if hasattr(x, "shape")
-        else x,
-        target,
-    )
+    abstract = {
+        k: jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype)
+            if hasattr(x, "shape")
+            else x,
+            v,
+        )
+        for k, v in target.items()
+        if (k if k != "rng_data" else "rng") in sel
+    }
     import orbax.checkpoint as ocp
 
-    restored = ckptr.restore(path, args=ocp.args.StandardRestore(abstract))
-    state = template.replace(
-        step=jnp.asarray(restored["step"], jnp.int32),
-        params=restored["params"],
-        opt_state=restored["opt_state"],
-        ema_params=restored["ema_params"],
-        ema_decay=jnp.asarray(restored["ema_decay"], jnp.float32),
-        rng=jax.random.wrap_key_data(restored["rng_data"]),
-    )
+    if components is None:
+        restored = ckptr.restore(path, args=ocp.args.StandardRestore(abstract))
+    else:
+        # subset loads go through PyTreeRestore(partial_restore=True) — the
+        # unselected subtrees are never deserialized, so a checkpoint saved
+        # with a different optimizer still params-only-loads cleanly
+        with ocp.Checkpointer(ocp.PyTreeCheckpointHandler()) as pt:
+            restored = pt.restore(
+                path, args=ocp.args.PyTreeRestore(abstract, partial_restore=True)
+            )
+    repl: Dict[str, Any] = {}
+    if "step" in sel:
+        repl["step"] = jnp.asarray(restored["step"], jnp.int32)
+    if "params" in sel:
+        repl["params"] = restored["params"]
+    if "opt_state" in sel:
+        repl["opt_state"] = restored["opt_state"]
+    if "ema_params" in sel:
+        repl["ema_params"] = restored["ema_params"]
+    if "ema_decay" in sel:
+        repl["ema_decay"] = jnp.asarray(restored["ema_decay"], jnp.float32)
+    if "rng" in sel:
+        repl["rng"] = jax.random.wrap_key_data(restored["rng_data"])
+    state = template.replace(**repl)
     meta_path = os.path.join(path, "meta.json")
     meta: Dict[str, Any] = {}
     if os.path.exists(meta_path):

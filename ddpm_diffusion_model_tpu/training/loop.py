@@ -29,8 +29,8 @@ from ..ops.schedules import DiffusionSchedule
 from .checkpoint import (
     apply_resume_overrides,
     load_checkpoint,
-    mirror_checkpoint,
     save_checkpoint,
+    wait_for_checkpoints,
 )
 from .diagnostics import StepTimer, device_mem_mb, fmt_hms, rule
 from .ema import ema_health
@@ -75,12 +75,16 @@ def train_one_epoch(
     step0 = int(jax.device_get(state.step))
     timer = StepTimer()
 
-    # baseline sanity print at step 0 (reference: train_one_epoch.py:48-52 —
-    # the expected eps-MSE of an untrained predictor is E||eps||^2 ~ 1.0)
-    if log_every and step0 == 0 and epoch_header_printed is not None             and not epoch_header_printed[0]:
-        base = float(np.random.default_rng(0).normal(size=(8192,)).var())
-        print("┆ In-epoch statistics")
-        print(f"┆   (baseline)  eps-MSE ~ {base:.3f}  (expected ~1.0)")
+    # baseline sanity print at step 0 — computed on the first DEVICE batch
+    # (below), not pre-loop: the zero-predictor L_simple is MSE(0, eps) =
+    # mean(eps^2) for batch-shaped device noise, the reference's semantics
+    # (train_one_epoch.py:48-52 computes (randn(32,3,s,s)**2).mean() on device)
+    baseline_pending = bool(
+        log_every
+        and step0 == 0
+        and epoch_header_printed is not None
+        and not epoch_header_printed[0]
+    )
 
     def _host_batches():
         for i, batch in enumerate(dataloader):
@@ -92,6 +96,12 @@ def train_one_epoch(
 
     for x_dev, _ in device_prefetch(_host_batches(), size=2, sharding=batch_sharding):
         x_shape0 = x_dev.shape[0]
+        if baseline_pending:
+            baseline_pending = False
+            eps = jax.random.normal(jax.random.key(0), x_dev.shape, jnp.float32)
+            base = float(jax.device_get(jnp.mean(jnp.square(eps))))
+            print("┆ In-epoch statistics")
+            print(f"┆   (baseline)  eps-MSE ~ {base:.3f}  (expected ~1.0)")
         timer.reset()
         state, metrics = train_step(state, x_dev)
 
@@ -168,6 +178,7 @@ def train_ddpm(
     img_size: int = 64,
     sample_fn: Optional[Callable] = None,
     sample_seed: Optional[int] = 1234,
+    fid_reference: Optional[np.ndarray] = None,
     # checkpoint hooks
     ckpt_dir: str = "checkpoints",
     run_name: str = "ddpm",
@@ -188,6 +199,7 @@ def train_ddpm(
     override_ema_decay: Optional[float] = None,
     repair_ema_on_resume: bool = False,
     ema_decay_after_repair: float = 0.9995,
+    resume_components: Optional[Sequence[str]] = None,
     configs_for_ckpt: Optional[Dict[str, Any]] = None,
     # multi-chip (the layer the reference never had, SURVEY.md §2.6)
     mesh=None,
@@ -231,7 +243,7 @@ def train_ddpm(
     global_step, start_epoch, resumed = 0, 0, False
     if resume_path and os.path.exists(resume_path):
         template = state
-        state, meta = load_checkpoint(resume_path, template)
+        state, meta = load_checkpoint(resume_path, template, components=resume_components)
         global_step = int(meta.get("global_step", int(jax.device_get(state.step))))
         start_epoch = int(meta.get("epoch", 0)) + 1
         print(
@@ -328,7 +340,7 @@ def train_ddpm(
             ok, _, rel = ema_health(state.ema_params, state.params, rel_tol=2.0)
             use_ema = bool(ok and rel <= 1.0)
             params_for_sample = state.ema_params if use_ema else state.params
-            sample_fn(
+            samples = sample_fn(
                 model,
                 params_for_sample,
                 sched,
@@ -337,20 +349,42 @@ def train_ddpm(
                 save_path=out_path,
                 seed=sample_seed if sample_seed is not None else 0,
             )
-            print(f"└─ [SAMPLE] grid -> {out_path} | EMA_used={use_ema} | rel={rel:.3f}")
+            fid_msg = ""
+            if (
+                fid_reference is not None
+                and isinstance(samples, np.ndarray)
+                and samples.ndim == 4
+            ):
+                # rFID (random-CNN Fréchet distance): the offline stand-in
+                # for the FID north star (utils/fid.py).  Reference images
+                # arrive in training range [-1,1]; samples in [0,1].
+                from ..utils.fid import rfid
+
+                ref01 = (np.asarray(fid_reference, np.float32) + 1.0) / 2.0
+                score = rfid(ref01, samples)
+                summary["epochs"][-1]["rfid"] = score
+                fid_msg = f" | rFID={score:.3f}"
+            print(
+                f"└─ [SAMPLE] grid -> {out_path} | EMA_used={use_ema}"
+                f" | rel={rel:.3f}{fid_msg}"
+            )
 
         if save_every and (epoch % save_every == 0 or epoch == epochs - 1):
             ckpt_path = os.path.join(ckpt_dir, f"{run_name}_e{epoch:03d}")
+            # async save: the device->host copy stages synchronously, disk
+            # serialization + meta + mirror overlap the next epoch's compute
+            t_save = time.time()
             save_checkpoint(
                 ckpt_path, state, epoch=epoch,
                 extra={"epoch": epoch, "global_step": global_step},
                 configs=configs_for_ckpt,
+                block=False, mirror_dir=mirror_dir,
+                fixed_mirror_name=fixed_mirror_name, log=print,
             )
-            print(f"└─ [CKPT]   saved -> {ckpt_path}")
-            if mirror_dir:
-                dst = mirror_checkpoint(ckpt_path, mirror_dir, fixed_mirror_name)
-                if dst:
-                    print(f"└─ [MIRROR] copied -> {dst}")
+            print(
+                f"└─ [CKPT]   saving (async) -> {ckpt_path}"
+                f" | dispatched in {1e3 * (time.time() - t_save):.0f} ms"
+            )
 
     if save_last:
         ckpt_path = os.path.join(ckpt_dir, f"{run_name}_last")
@@ -358,11 +392,11 @@ def train_ddpm(
             ckpt_path, state, epoch=epochs - 1,
             extra={"epoch": epochs - 1, "global_step": global_step},
             configs=configs_for_ckpt,
+            mirror_dir=mirror_dir, fixed_mirror_name=fixed_mirror_name,
         )
         print(f"└─ [CKPT]   saved -> {ckpt_path}")
-        if mirror_dir:
-            mirror_checkpoint(ckpt_path, mirror_dir, fixed_mirror_name)
 
+    wait_for_checkpoints()  # every async save durable before we return
     print(rule())
     print(f"Training finished in {fmt_hms(total_time)}")
     print(rule())

@@ -7,3 +7,5 @@ from .debugging import (  # noqa: F401
     tree_all_finite,
 )
 from .summary import model_summary, param_table  # noqa: F401
+from .flops import mfu, sampling_flops, train_step_flops, unet_fwd_flops  # noqa: F401
+from .fid import extract_features, frechet_distance, rfid  # noqa: F401

@@ -156,3 +156,48 @@ def test_device_prefetch():
     out = list(device_prefetch(iter(dl), size=2))
     assert len(out) == 4
     assert isinstance(out[0][0], jax.Array)
+
+
+def test_celeba_official_partition_split(tmp_path):
+    """Offline CelebA splits follow list_eval_partition.txt when present
+    (the file torchvision's split= consumes, load_data_from_torch.py:13-31)
+    and fall back to index counts when absent."""
+    from PIL import Image
+
+    from ddpm_diffusion_model_tpu.data.celeba import (
+        _celeba_offline_loaders,
+        _read_eval_partition,
+    )
+    from ddpm_diffusion_model_tpu.data.transforms import make_celeba_transform
+
+    celeba_dir = tmp_path / "celeba"
+    root = celeba_dir / "img_align_celeba"
+    os.makedirs(root)
+    rng = np.random.default_rng(0)
+    names = [f"{i:06d}.jpg" for i in range(1, 11)]
+    for nm in names:
+        arr = (rng.random((218, 178, 3)) * 255).astype(np.uint8)
+        Image.fromarray(arr).save(root / nm)
+    # official format: "000001.jpg 0" — 6 train / 2 valid / 2 test
+    parts = [0] * 6 + [1] * 2 + [2] * 2
+    with open(celeba_dir / "list_eval_partition.txt", "w") as f:
+        for nm, p in zip(names, parts):
+            f.write(f"{nm} {p}\n")
+
+    mapping = _read_eval_partition(str(celeba_dir))
+    assert mapping["000001.jpg"] == 0 and mapping["000009.jpg"] == 2
+
+    transform = make_celeba_transform(img_size=16, crop=178)
+    tr, va, te = _celeba_offline_loaders(
+        str(tmp_path), str(root), transform, 16, 2, 0, 0
+    )
+    assert len(tr.dataset) == 6 and len(va.dataset) == 2 and len(te.dataset) == 2
+    x, _y = next(iter(tr))
+    assert x.shape == (2, 16, 16, 3)
+
+    # remove the partition file -> index-count fallback still works
+    os.remove(celeba_dir / "list_eval_partition.txt")
+    tr2, va2, te2 = _celeba_offline_loaders(
+        str(tmp_path), str(root), transform, 16, 2, 0, 0
+    )
+    assert len(tr2.dataset) + len(va2.dataset) + len(te2.dataset) == 10

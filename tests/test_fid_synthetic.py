@@ -1,0 +1,70 @@
+"""rFID (random-CNN Fréchet distance) + the procedural blob-faces dataset:
+the offline sample-quality metric and the structured-data learning testbed
+(VERDICT round-1 items 3-4)."""
+
+import numpy as np
+import pytest
+
+from ddpm_diffusion_model_tpu.data import BlobFacesDataset, blob_faces_array
+from ddpm_diffusion_model_tpu.utils.fid import (
+    extract_features,
+    frechet_distance,
+    rfid,
+)
+
+S = 32
+
+
+@pytest.fixture(scope="module")
+def faces():
+    return blob_faces_array(96, img_size=S, seed=0)
+
+
+def test_blob_faces_deterministic_and_ranged(faces):
+    ds = BlobFacesDataset(10, img_size=S, seed=0)
+    a, _ = ds[3]
+    b, _ = ds[3]
+    np.testing.assert_array_equal(a, b)
+    c, _ = BlobFacesDataset(10, img_size=S, seed=1)[3]
+    assert not np.allclose(a, c)
+    assert a.shape == (S, S, 3) and a.dtype == np.float32
+    assert faces.min() >= -1.0 and faces.max() <= 1.0
+    # structured, not iid noise: strong spatial correlation
+    gx = np.abs(np.diff(faces, axis=1)).mean()
+    assert gx < 0.25  # iid U(-1,1) noise would be ~0.66
+
+
+def test_feature_extractor_deterministic(faces):
+    x01 = (faces[:8] + 1) / 2
+    f1 = extract_features(x01)
+    f2 = extract_features(x01)
+    np.testing.assert_array_equal(f1, f2)
+    assert f1.shape[0] == 8 and f1.shape[1] == 2 * (32 + 64 + 128 + 128)
+
+
+def test_frechet_distance_properties():
+    rng = np.random.default_rng(0)
+    mu = rng.normal(size=8)
+    a = rng.normal(size=(8, 8))
+    cov = a @ a.T
+    assert frechet_distance(mu, cov, mu, cov) == pytest.approx(0.0, abs=1e-4)
+    d = frechet_distance(mu, cov, mu + 1.0, cov)
+    assert d == pytest.approx(8.0, rel=1e-3)  # ||1||^2 over 8 dims
+
+
+def test_rfid_zero_for_identical_and_ranks_quality(faces):
+    x01 = (faces + 1) / 2
+    real, fake_pool = x01[:48], x01[48:]
+    assert rfid(real, real) == pytest.approx(0.0, abs=1e-3)
+
+    # same distribution, disjoint samples: small
+    d_same = rfid(real, fake_pool)
+    # noise: far
+    noise = np.random.default_rng(1).random((48, S, S, 3)).astype(np.float32)
+    d_noise = rfid(real, noise)
+    # corrupted faces (heavy noise added): in between
+    corrupted = np.clip(
+        fake_pool + np.random.default_rng(2).normal(0, 0.35, fake_pool.shape), 0, 1
+    ).astype(np.float32)
+    d_corr = rfid(real, corrupted)
+    assert d_same < d_corr < d_noise, (d_same, d_corr, d_noise)

@@ -108,3 +108,20 @@ def test_sampler_error_returns_500(server):
     assert ei.value.code == 500
     body = json.loads(ei.value.read())
     assert "error" in body
+
+
+def test_used_parameter_headers(server):
+    """Bucketing is reported, not silent: the snapped steps/n come back in
+    X-Used-* headers and the ladder is published on /healthz."""
+    req = urllib.request.urlopen(server + "/sample?n=3&steps=7&seed=1&format=npy",
+                                 timeout=60)
+    body = req.read()
+    # steps=7 snaps to 5 on the ladder; n=3 is served exactly (bucket is internal)
+    assert req.headers["X-Used-Steps"] == "5"
+    assert req.headers["X-Used-N"] == "3"
+    arr = np.load(io.BytesIO(body))
+    assert arr.shape[0] == 3
+
+    code, _t, hbody = _get(server + "/healthz")
+    data = json.loads(hbody)
+    assert data["step_choices"][0] == 1 and data["max_n"] == 64

@@ -276,6 +276,11 @@ def test_train_ddpm_end_to_end_with_resume(setup, tmp_path, capsys):
     out = capsys.readouterr().out
     assert "DDPM run: t" in out
     assert "imgs/s" in out
+    # real zero-predictor baseline on the first device batch (~E[eps^2]=1)
+    base_line = [l for l in out.splitlines() if "(baseline)" in l]
+    assert base_line, "baseline eps-MSE print missing"
+    base_val = float(base_line[0].split("~")[1].split()[0])
+    assert abs(base_val - 1.0) < 0.25
     assert "probes" in out or "t=5" in out
     assert len(sample_calls) == 2
     assert int(state.step) == 6  # 2 epochs * 3 batches
@@ -324,3 +329,62 @@ def test_loss_weighting_schemes(setup):
     batch = jax.random.normal(jax.random.key(11), (4, RES, RES, 3)) * 0.3
     state, m = step(state, batch)
     assert np.isfinite(float(m["loss"]))
+
+
+def test_partial_checkpoint_restore(setup, tmp_path):
+    """Restore-each-iff-passed semantics (chekpoints.py:16-25): a
+    params-only load keeps the template's fresh optimizer/step/rng and must
+    work even when the template's optimizer structure differs from the one
+    in the checkpoint (fine-tuning with a different optimizer)."""
+    import optax
+
+    model, sched, params = setup
+    cfg = TrainConfig(grad_accum_steps=1, warmup_steps=None)
+    tx = make_optimizer(cfg)
+    state, _ = init_train_state(params, cfg, tx=tx)
+    step = make_train_step(model, sched, tx, cfg)
+    batch = jax.random.normal(jax.random.key(5), (4, RES, RES, 3)) * 0.3
+    for _ in range(2):
+        state, _ = step(state, batch)
+
+    p = str(tmp_path / "ckpt_partial")
+    save_checkpoint(p, state, epoch=0)
+
+    # template with a structurally different optimizer (SGD, no moments)
+    template, _ = init_train_state(params, cfg, tx=optax.sgd(1e-3))
+    restored, _ = load_checkpoint(p, template, components=("params", "ema_params"))
+    assert int(restored.step) == 0  # kept template's fresh step
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # opt_state is the template's (SGD), untouched by the Adam checkpoint
+    assert jax.tree.structure(restored.opt_state) == jax.tree.structure(
+        template.opt_state
+    )
+
+    with pytest.raises(ValueError, match="unknown checkpoint components"):
+        load_checkpoint(p, template, components=("params", "bogus"))
+
+
+def test_async_checkpoint_save(setup, tmp_path):
+    """block=False returns before the meta sidecar lands;
+    wait_for_checkpoints makes it durable (VERDICT round-1 item 8)."""
+    from ddpm_diffusion_model_tpu.training import wait_for_checkpoints
+
+    model, sched, params = setup
+    cfg = TrainConfig(grad_accum_steps=1, warmup_steps=None)
+    tx = make_optimizer(cfg)
+    state, _ = init_train_state(params, cfg, tx=tx)
+
+    mirror = str(tmp_path / "mirror")
+    p = str(tmp_path / "ckpt_async")
+    save_checkpoint(p, state, epoch=1, block=False, mirror_dir=mirror,
+                    fixed_mirror_name="latest")
+    wait_for_checkpoints()
+    assert os.path.exists(os.path.join(p, "meta.json"))
+    assert os.path.isdir(os.path.join(mirror, "latest"))
+
+    template, _ = init_train_state(params, cfg, tx=tx)
+    restored, meta = load_checkpoint(p, template)
+    assert meta["epoch"] == 1
+    for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

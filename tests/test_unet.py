@@ -273,3 +273,55 @@ def test_unet_odd_resolution_mismatch_resize():
     # gradient still flows through the resize
     g = jax.grad(lambda p: jnp.sum(model.apply(p, x, t) ** 2))(params)
     assert all(np.isfinite(float(jnp.linalg.norm(l))) for l in jax.tree.leaves(g))
+
+
+def test_attn_p_drop_training_vs_eval():
+    """SDPA dropout parity (attention.py:43,67-70): p_drop only acts in
+    training mode, changes the output stochastically, and keeps shapes/
+    finiteness; eval mode is identical to p_drop=0."""
+    import jax
+
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 16), jnp.float32)
+    base = AttnBlock(num_heads=2, head_dim=8, dtype=jnp.float32, attn_impl="xla")
+    params = base.init(jax.random.key(1), x)
+
+    drop = AttnBlock(num_heads=2, head_dim=8, p_drop=0.5, deterministic=False,
+                     dtype=jnp.float32, attn_impl="xla")
+    drop_eval = AttnBlock(num_heads=2, head_dim=8, p_drop=0.5, deterministic=True,
+                          dtype=jnp.float32, attn_impl="xla")
+
+    y_base = base.apply(params, x)
+    y_eval = drop_eval.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(y_base), np.asarray(y_eval))
+
+    y1 = drop.apply(params, x, rngs={"dropout": jax.random.key(2)})
+    y2 = drop.apply(params, x, rngs={"dropout": jax.random.key(3)})
+    assert np.isfinite(np.asarray(y1)).all()
+    assert y1.shape == x.shape
+    assert not np.allclose(np.asarray(y1), np.asarray(y_base))
+    assert not np.allclose(np.asarray(y1), np.asarray(y2))
+
+
+def test_unet_attn_p_drop_config_wired():
+    """attn_p_drop flows from UNetConfig into training-mode forwards."""
+    import jax
+
+    from ddpm_diffusion_model_tpu.models import UNetConfig, UNetDenoiser
+
+    cfg = UNetConfig(
+        base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+        attn_resolutions=(4,), time_embed_dim=16, num_heads=1, head_dim=8,
+        img_resolution=8, attn_p_drop=0.4,
+    )
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    x = jax.random.normal(jax.random.key(0), (2, 8, 8, 3), jnp.float32)
+    t = jnp.zeros((2,))
+    params = model.init(jax.random.key(1), x, t)
+    y_eval = model.apply(params, x, t, deterministic=True)
+    y_tr1 = model.apply(params, x, t, deterministic=False,
+                        rngs={"dropout": jax.random.key(2)})
+    y_tr2 = model.apply(params, x, t, deterministic=False,
+                        rngs={"dropout": jax.random.key(3)})
+    assert np.isfinite(np.asarray(y_tr1)).all()
+    assert not np.allclose(np.asarray(y_tr1), np.asarray(y_eval))
+    assert not np.allclose(np.asarray(y_tr1), np.asarray(y_tr2))
