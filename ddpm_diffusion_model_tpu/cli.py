@@ -86,6 +86,14 @@ def _make_loader(args, exp):
         arr = rng.normal(size=(n, exp.img_size, exp.img_size, 3)).astype(np.float32)
         arr = np.clip(arr * 0.4, -1, 1)
         return DataLoader(ArrayDataset(arr), exp.batch_size, seed=exp.seed)
+    if args.data == "blobs":
+        # procedural structured faces (data/synthetic.py): learnable offline
+        # stand-in for CelebA — real learning dynamics without egress
+        from .data import BlobFacesDataset
+
+        ds = BlobFacesDataset(args.synthetic_size, img_size=exp.img_size,
+                              seed=exp.seed)
+        return DataLoader(ds, exp.batch_size, seed=exp.seed, shuffle=True)
     if args.data == "zip":
         if not args.zip_path:
             raise SystemExit("error: --data zip requires --zip-path <file.zip>")
@@ -128,6 +136,14 @@ def cmd_train(args):
         return ddpm_sample(model_, params_, sched_, n, img_size, seed=seed,
                            save_path=save_path, return_grid=False)
 
+    fid_ref = None
+    if args.data == "blobs" and not args.no_samples:
+        # held-out reference set (disjoint seed) for per-epoch rFID scoring
+        from .data import blob_faces_array
+
+        fid_ref = blob_faces_array(128, img_size=exp.img_size,
+                                   seed=exp.seed + 999)
+
     state, summary = train_ddpm(
         model, sched, loader,
         train_config=exp.train,
@@ -142,9 +158,14 @@ def cmd_train(args):
         probe_timesteps=[10, 50, 200, 500] if args.probes else None,
         log_grad_norm=args.probes,
         configs_for_ckpt={"experiment": exp.to_dict()},
+        fid_reference=fid_ref,
     )
     final = summary["epochs"][-1]["loss"] if summary["epochs"] else None
-    print(json.dumps({"final_loss": final}))
+    out = {"final_loss": final}
+    rfids = [e["rfid"] for e in summary["epochs"] if "rfid" in e]
+    if rfids:
+        out["rfid_first"], out["rfid_last"] = rfids[0], rfids[-1]
+    print(json.dumps(out))
 
 
 def cmd_sample_ddpm(args):
@@ -213,7 +234,7 @@ def main(argv=None):
     sp = sub.add_parser("train")
     common(sp)
     sp.add_argument("--data", default="synthetic",
-                    choices=["synthetic", "zip", "hf", "celeba"])
+                    choices=["synthetic", "blobs", "zip", "hf", "celeba"])
     sp.add_argument("--zip-path")
     sp.add_argument("--data-dir", default="data")
     sp.add_argument("--synthetic-size", type=int, default=512)

@@ -85,6 +85,7 @@ def train_one_epoch(
         and epoch_header_printed is not None
         and not epoch_header_printed[0]
     )
+    title_printed = False
 
     def _host_batches():
         for i, batch in enumerate(dataloader):
@@ -98,6 +99,7 @@ def train_one_epoch(
         x_shape0 = x_dev.shape[0]
         if baseline_pending:
             baseline_pending = False
+            title_printed = True
             eps = jax.random.normal(jax.random.key(0), x_dev.shape, jnp.float32)
             base = float(jax.device_get(jnp.mean(jnp.square(eps))))
             print("┆ In-epoch statistics")
@@ -114,7 +116,8 @@ def train_one_epoch(
             loss_val = float(jax.device_get(metrics["loss"]))
             dt_ms = timer.mark(metrics["loss"])
             if epoch_header_printed is not None and not epoch_header_printed[0]:
-                print("┆ In-epoch statistics")
+                if not title_printed:
+                    print("┆ In-epoch statistics")
                 print(
                     "┆   {:>8} | {:>9} | {:>8} | {:>8} | {:>10}{}".format(
                         "step", "lr", "loss", "dt(ms)", "grad_norm",

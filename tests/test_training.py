@@ -388,3 +388,29 @@ def test_async_checkpoint_save(setup, tmp_path):
     assert meta["epoch"] == 1
     for a, b in zip(jax.tree.leaves(restored.params), jax.tree.leaves(state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_ddpm_reports_rfid(setup, tmp_path, capsys):
+    """fid_reference wires per-epoch rFID scoring into the sampling hook."""
+    model, sched, params = setup
+    cfg = TrainConfig(base_lr=1e-3, warmup_steps=None, grad_accum_steps=1)
+    rng = np.random.default_rng(0)
+    data = [rng.normal(size=(4, RES, RES, 3)).astype(np.float32) * 0.3
+            for _ in range(2)]
+    ref = rng.uniform(-1, 1, size=(64, RES, RES, 3)).astype(np.float32)
+
+    def sample_fn(model_, params_, sched_, *, n, img_size, save_path, seed):
+        return np.random.default_rng(seed).uniform(
+            0, 1, size=(64, img_size, img_size, 3)
+        ).astype(np.float32)
+
+    _state, summary = train_ddpm(
+        model, sched, data, train_config=cfg, init_params=params,
+        epochs=1, sample_every=1, sample_n=4, img_size=RES,
+        sample_fn=sample_fn, ckpt_dir=str(tmp_path), run_name="rf",
+        save_every=0, save_last=False, fid_reference=ref,
+    )
+    out = capsys.readouterr().out
+    assert "rFID=" in out
+    assert "rfid" in summary["epochs"][-1]
+    assert summary["epochs"][-1]["rfid"] >= 0.0
