@@ -76,6 +76,8 @@ def main():
     ap.add_argument("--batch", type=int, help="override batch size")
     ap.add_argument("--accum", type=int, help="override grad-accum steps")
     ap.add_argument("--remat", choices=["on", "off"], help="override remat")
+    ap.add_argument("--fused-gn", action="store_true",
+                    help="tiled Pallas GN+SiLU+time-bias epilogue")
     args = ap.parse_args()
 
     from ddpm_diffusion_model_tpu.utils.compilation_cache import (
@@ -118,7 +120,8 @@ def main():
     if args.accum:
         accum = args.accum
     use_remat = False if args.remat is None else args.remat == "on"
-    model = UNetDenoiser(mcfg, dtype=jnp.bfloat16, remat=use_remat)
+    model = UNetDenoiser(mcfg, dtype=jnp.bfloat16, remat=use_remat,
+                         fused_gn=args.fused_gn)
     dyn = 0.995 if args.config == "hq256" else None
     sched = make_schedule(
         DiffusionConfig(T=1000, schedule="linear", img_size=res, dynamic_threshold=dyn)

@@ -62,7 +62,8 @@ def group_norm(
 
 
 class FusedGNSiLU(nn.Module):
-    """GroupNorm+SiLU via the Pallas fused kernel (``ops.fused_norm``).
+    """GroupNorm+SiLU (+ optional fused time-bias) via the tiled Pallas
+    kernels (``ops.fused_norm``).
 
     Parameter names/shapes match ``nn.GroupNorm`` ("scale"/"bias", (C,)) so a
     model can flip between fused and unfused without touching checkpoints.
@@ -72,24 +73,29 @@ class FusedGNSiLU(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        from ..ops.fused_norm import gn_silu
+    def __call__(self, x: jnp.ndarray, time_bias: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        from ..ops.fused_norm import gn_silu, gn_silu_bias
 
         groups = _gn_groups(self.channels)
         scale = self.param("scale", nn.initializers.ones, (self.channels,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (self.channels,), jnp.float32)
+        if time_bias is not None:
+            return gn_silu_bias(
+                x.astype(self.dtype), scale, bias,
+                time_bias.astype(jnp.float32), groups,
+            )
         return gn_silu(x.astype(self.dtype), scale, bias, groups)
 
 
 def _use_fused_gn(x: jnp.ndarray, channels: int, enabled: bool = False) -> bool:
-    """Gate for the Pallas fused GN+SiLU path.
+    """Gate for the tiled Pallas fused GN+SiLU path (``ResBlock(fused_gn=
+    True)`` / ``UNetDenoiser(fused_gn=True)``).
 
-    Measured on v5e (64px attention config, batch 128): the fused kernel is
-    SLOWER than XLA's own fusion (688 vs 830 imgs/s) — XLA tiles the
-    elementwise chain across the batch better than one-program-per-sample.
-    Kept available behind ``ResBlock(fused_gn=True)`` for kernel-level
-    experiments; off by default per measurement.
-    """
+    History: round 1's whole-map-in-VMEM kernel measured SLOWER than XLA at
+    64px (688 vs 830 imgs/s) and could not run at 256px at all; the round-2
+    tiled rewrite targets exactly the 256x256x128 HBM-bound epilogue and
+    additionally swallows the time-bias add.  Still opt-in — enable where
+    measurement wins (see docs/BENCH.md)."""
     if not enabled:
         return False
     import jax
@@ -135,11 +141,14 @@ class ResBlock(nn.Module):
             self.out_ch, dtype=self.dtype, param_dtype=self.param_dtype,
             name="time_proj",
         )(nn.silu(t_emb.astype(jnp.float32)).astype(self.dtype))
-        h = h + t_bias[:, None, None, :]
 
         if _use_fused_gn(h, self.out_ch, self.fused_gn):
-            h = FusedGNSiLU(self.out_ch, dtype=self.dtype, name="norm2")(h)
+            # the (B,C) time bias rides into the fused normalize pass — the
+            # broadcast h + t_bias materialization disappears entirely
+            h = FusedGNSiLU(self.out_ch, dtype=self.dtype, name="norm2")(
+                h, time_bias=t_bias)
         else:
+            h = h + t_bias[:, None, None, :]
             h = group_norm(self.out_ch, dtype=self.dtype, name="norm2")(h)
             h = nn.silu(h).astype(self.dtype)
         if self.dropout > 0.0:

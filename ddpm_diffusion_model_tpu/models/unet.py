@@ -95,14 +95,40 @@ class UNetDenoiser(nn.Module):
     remat: bool = False  # rematerialize ResBlocks — the TPU replacement for
     #                      the reference's OOM-skip (SURVEY.md §7: static
     #                      memory planning + optional remat for 256px)
+    fused_gn: bool = False  # tiled Pallas GN+SiLU+time-bias epilogue
+    #                         (ops.fused_norm); opt-in per measurement
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *, deterministic: bool = True) -> jnp.ndarray:
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        t: jnp.ndarray,
+        *,
+        deterministic: bool = True,
+        mode: str = "full",
+        cached=None,
+        return_features: bool = False,
+    ) -> jnp.ndarray:
+        """epsilon-hat prediction.
+
+        ``mode``/``cached``/``return_features`` support **encoder-cached fast
+        sampling** (Faster-Diffusion / DeepCache style — encoder features
+        vary slowly across adjacent timesteps, so reuse steps can skip the
+        encoder+bottleneck entirely):
+
+        - ``mode="full"``: normal forward. With ``return_features=True``
+          returns ``(eps, (mid, skips))`` for a later reuse step.
+        - ``mode="decode"``: skip the encoder; ``cached=(mid, skips)`` from
+          an earlier step feeds the decoder, which runs with the FRESH time
+          embedding.  Param tree is unchanged (explicit submodule names) —
+          any checkpoint works with both modes.
+        """
         cfg = self.config
         levels, bottleneck_res = cfg.level_plan()
         Res = nn.remat(ResBlock) if self.remat else ResBlock
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        res_kw = dict(dropout=cfg.dropout, deterministic=deterministic, **kw)
+        res_kw = dict(dropout=cfg.dropout, deterministic=deterministic,
+                      fused_gn=self.fused_gn, **kw)
         attn_kw = dict(
             num_heads=cfg.num_heads, head_dim=cfg.head_dim,
             p_drop=cfg.attn_p_drop, deterministic=deterministic,
@@ -115,27 +141,40 @@ class UNetDenoiser(nn.Module):
                         param_dtype=self.param_dtype, name="time_mlp")(t_emb)
 
         in_dtype = x.dtype
-        cur = nn.Conv(cfg.base_channels, (3, 3), padding="SAME", name="in_conv",
-                      **kw)(x.astype(self.dtype))
+        if mode == "decode":
+            if cached is None:
+                raise ValueError('mode="decode" requires cached=(mid, skips)')
+            cur, skips = cached
+            cur = cur.astype(self.dtype)
+            skips = [s.astype(self.dtype) for s in skips]
+        elif mode == "full":
+            cur = nn.Conv(cfg.base_channels, (3, 3), padding="SAME",
+                          name="in_conv", **kw)(x.astype(self.dtype))
 
-        # ---- encoder ----
-        skips = []
-        for li, level in enumerate(levels):
-            for bi in range(cfg.num_res_blocks):
-                cur = Res(level["out_ch"], name=f"down{li}_res{bi}", **res_kw)(
-                    cur, t_emb)
-                if level["use_attn"]:
-                    cur = AttnBlock(name=f"down{li}_attn{bi}", **attn_kw)(cur)
-            skips.append(cur)  # one skip per level, pre-downsample
-            if level["downsample"]:
-                cur = Downsample(level["out_ch"], name=f"down{li}_down", **kw)(cur)
+            # ---- encoder ----
+            skips = []
+            for li, level in enumerate(levels):
+                for bi in range(cfg.num_res_blocks):
+                    cur = Res(level["out_ch"], name=f"down{li}_res{bi}",
+                              **res_kw)(cur, t_emb)
+                    if level["use_attn"]:
+                        cur = AttnBlock(name=f"down{li}_attn{bi}", **attn_kw)(cur)
+                skips.append(cur)  # one skip per level, pre-downsample
+                if level["downsample"]:
+                    cur = Downsample(level["out_ch"], name=f"down{li}_down",
+                                     **kw)(cur)
 
-        # ---- bottleneck ----
-        mid_ch = levels[-1]["out_ch"]
-        cur = Res(mid_ch, name="mid_res0", **res_kw)(cur, t_emb)
-        if bottleneck_res in set(cfg.attn_resolutions):
-            cur = AttnBlock(name="mid_attn", **attn_kw)(cur)
-        cur = Res(mid_ch, name="mid_res1", **res_kw)(cur, t_emb)
+            # ---- bottleneck ----
+            mid_ch = levels[-1]["out_ch"]
+            cur = Res(mid_ch, name="mid_res0", **res_kw)(cur, t_emb)
+            if bottleneck_res in set(cfg.attn_resolutions):
+                cur = AttnBlock(name="mid_attn", **attn_kw)(cur)
+            cur = Res(mid_ch, name="mid_res1", **res_kw)(cur, t_emb)
+        else:
+            raise ValueError(f"unknown mode {mode!r}")
+
+        features = (cur, tuple(skips)) if return_features else None
+        skips = list(skips)
 
         # ---- decoder (reversed levels; no attention — parity) ----
         for li, level in enumerate(reversed(levels)):
@@ -158,7 +197,8 @@ class UNetDenoiser(nn.Module):
         cur = nn.silu(cur).astype(self.dtype)
         out = nn.Conv(cfg.in_channels, (3, 3), padding="SAME", name="out_conv",
                       dtype=jnp.float32, param_dtype=self.param_dtype)(cur)
-        return out.astype(in_dtype)
+        out = out.astype(in_dtype)
+        return (out, features) if return_features else out
 
 
 def unet_64x64_config(**overrides) -> UNetConfig:

@@ -1,130 +1,346 @@
-"""Fused GroupNorm + SiLU Pallas TPU kernel.
+"""Fused GroupNorm + SiLU (+ optional time-bias) — tiled Pallas TPU kernels.
 
-The ResBlock epilogue GN→SiLU (``unet_backbone.py:38,43``) is an HBM-bound
-elementwise+reduction chain between MXU convs; fusing it into one VMEM-
-resident kernel removes two round trips per block (SURVEY.md §2's "fused
-time-bias/GroupNorm/SiLU resblock epilogue" deliverable).
+The ResBlock epilogue (+time-bias) → GN → SiLU (``unet_backbone.py:38-43``)
+is an HBM-bound elementwise+reduction chain between MXU convs.  Round 1's
+kernel held the whole (H, W, C) map in VMEM, so exactly the HBM-bound case
+it was built for (256x256x128, VERDICT round-1 weak #4) fell back to XLA.
+This is the prescribed rewrite: **spatial tiling + two-pass statistics**,
+working at any (H, W, C) with C % groups == 0 and C a lane multiple.
 
-Layout: NHWC, one grid program per batch element; the whole (H, W, C) map
-lives in VMEM (fits for every 64px config; big 256px maps fall back to XLA).
-Statistics in fp32 like flax/torch; normalize+affine+SiLU emitted in the
-input dtype.  Backward = ``jax.vjp`` of the XLA reference implementation
-(recompute; same pattern as the flash-attention kernel).
+Design (minimal HBM traffic, fp32 statistics):
+- forward = 2 passes: a partial-moments kernel (grid B x H-blocks, emits
+  per-block channel sums/squares), a tiny XLA reduction to per-(b,c)
+  A = gamma*rstd / S = beta - mu*A, then an apply kernel
+  y = silu(u*A + S) with u = x (+ time_bias).  2 reads + 1 write of x-sized
+  traffic — the minimum any GN needs.
+- backward = custom VJP with the same structure: a partial kernel for
+  sum(dz), sum(dz*xhat) (recomputing z from the saved (mu, rstd) — flash-
+  attention-style recompute, nothing image-sized is saved beyond x), an XLA
+  glue for dgamma/dbeta and the per-group correction moments, and an apply
+  kernel for dx (+ per-block partials for the time-bias gradient).
+
+The time-bias fusion means the ResBlock's ``h + t_bias[:, None, None, :]``
+materialization disappears into the normalize pass.
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["gn_silu", "gn_silu_reference", "gn_silu_supported"]
+__all__ = [
+    "gn_silu",
+    "gn_silu_bias",
+    "gn_silu_reference",
+    "gn_silu_supported",
+]
 
-_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+# Per-input-block budget. The real VMEM bill per program is ~3x the block in
+# fp32 temporaries (u, z / dz, xhat) + double-buffered in/out blocks, so 1 MiB
+# of bf16 block keeps the total safely inside the 16 MiB scoped limit
+# (measured: a 3.1 MiB block OOMed at 18 MiB on v5e).
+_BLOCK_VMEM_TARGET = 1024 * 1024
 
+
+# ---------------------------------------------------------------------------
+# reference (XLA) implementation — numerics oracle + CPU fallback
+# ---------------------------------------------------------------------------
 
 def gn_silu_reference(
-    x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray, num_groups: int,
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
     eps: float = 1e-6,
+    time_bias: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """XLA reference: GroupNorm (fp32 stats) then SiLU, NHWC."""
+    """XLA reference: (x + time_bias) -> GroupNorm (fp32 stats) -> SiLU."""
     B, H, W, C = x.shape
     cg = C // num_groups
-    xf = x.astype(jnp.float32).reshape(B, H * W, num_groups, cg)
+    xf = x.astype(jnp.float32)
+    if time_bias is not None:
+        xf = xf + time_bias.astype(jnp.float32)[:, None, None, :]
+    xf = xf.reshape(B, H * W, num_groups, cg)
     mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
     var = jnp.mean(jnp.square(xf - mean), axis=(1, 3), keepdims=True)
     norm = (xf - mean) * jax.lax.rsqrt(var + eps)
-    norm = norm.reshape(B, H, W, C).astype(x.dtype)
-    y = norm * scale.astype(x.dtype) + bias.astype(x.dtype)
-    return jax.nn.silu(y)
+    norm = norm.reshape(B, H, W, C)
+    y = norm * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return (y * jax.nn.sigmoid(y)).astype(x.dtype)
 
 
-def _kernel(x_ref, scale_ref, bias_ref, o_ref, *, num_groups: int, eps: float):
-    _, H, W, C = x_ref.shape
-    N = H * W
-    cg = C // num_groups
+# ---------------------------------------------------------------------------
+# tiling
+# ---------------------------------------------------------------------------
 
-    x = x_ref[0].reshape(N, C).astype(jnp.float32)
-    s = jnp.sum(x, axis=0, keepdims=True)            # (1, C)
-    sq = jnp.sum(x * x, axis=0, keepdims=True)       # (1, C)
-
-    # group reduce / broadcast via a 0/1 membership matmul — Mosaic has no
-    # lane->sublane reshape, but (1,C)x(C,G) dots ride the MXU
-    cidx = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 0) // cg
-    gidx = jax.lax.broadcasted_iota(jnp.int32, (C, num_groups), 1)
-    member = (cidx == gidx).astype(jnp.float32)      # (C, G)
-
-    dot = lambda a, b, dims: jax.lax.dot_general(
-        a, b, (dims, ((), ())), preferred_element_type=jnp.float32
-    )
-    s_g = dot(s, member, ((1,), (0,)))               # (1, G)
-    sq_g = dot(sq, member, ((1,), (0,)))             # (1, G)
-    count = float(N * cg)
-    mean_g = s_g / count
-    var_g = sq_g / count - mean_g * mean_g
-    rstd_g = jax.lax.rsqrt(var_g + eps)
-
-    mean_c = dot(mean_g, member, ((1,), (1,)))       # (1, C)
-    rstd_c = dot(rstd_g, member, ((1,), (1,)))       # (1, C)
-
-    scale = scale_ref[:].astype(jnp.float32).reshape(1, C)
-    bias = bias_ref[:].astype(jnp.float32).reshape(1, C)
-    y = (x - mean_c) * rstd_c * scale + bias
-    y = y * jax.nn.sigmoid(y)  # SiLU
-    o_ref[0] = y.reshape(H, W, C).astype(o_ref.dtype)
+def _pick_hb(H: int, W: int, C: int, itemsize: int) -> int:
+    """Largest divisor of H whose (hb, W, C) block fits the VMEM target."""
+    row = W * C * itemsize
+    cap = max(1, _BLOCK_VMEM_TARGET // max(row, 1))
+    hb = min(H, cap)
+    while H % hb:
+        hb -= 1
+    return max(hb, 1)
 
 
 def gn_silu_supported(x_shape, num_groups: int, dtype) -> bool:
+    """Tiled kernels handle any spatial size; C must split into groups and
+    lay out on lanes."""
     _, H, W, C = x_shape
     if C % num_groups:
         return False
-    # fp32 working copy dominates VMEM
-    return H * W * C * 4 * 2 <= _VMEM_BUDGET_BYTES
+    if C % 128:  # lane alignment — fall back to XLA for thin channels
+        return False
+    return W * C * jnp.dtype(dtype).itemsize <= _BLOCK_VMEM_TARGET
 
 
-def _forward(x, scale, bias, num_groups, eps):
+# ---------------------------------------------------------------------------
+# forward kernels
+# ---------------------------------------------------------------------------
+
+def _row(ref):
+    """(1, 8, C) broadcast-row block -> (1, 1, C) fp32 vector.
+
+    TPU lowering requires the last two block dims be (8, 128)-aligned, so
+    per-(b, c) vectors travel as 8 identical sublane rows."""
+    C = ref.shape[-1]
+    return ref[0, 0:1, :].reshape(1, 1, C).astype(jnp.float32)
+
+
+def _moments_kernel(x_ref, tb_ref, s_ref, sq_ref):
+    """Per-block channel partial sums of u = x + tb (written to all 8 rows
+    of the (1, 1, 8, C) output block)."""
+    C = x_ref.shape[-1]
+    u = x_ref[0].astype(jnp.float32) + _row(tb_ref)
+    flat = u.reshape(-1, C)
+    s_ref[0, 0] = jnp.broadcast_to(jnp.sum(flat, axis=0, keepdims=True), (8, C))
+    sq_ref[0, 0] = jnp.broadcast_to(
+        jnp.sum(flat * flat, axis=0, keepdims=True), (8, C)
+    )
+
+
+def _apply_kernel(x_ref, tb_ref, a_ref, s_ref, o_ref):
+    """y = silu(u * A[b] + S[b]) for one (1, hb, W, C) block."""
+    u = x_ref[0].astype(jnp.float32) + _row(tb_ref)
+    z = u * _row(a_ref) + _row(s_ref)
+    o_ref[0] = (z * jax.nn.sigmoid(z)).astype(o_ref.dtype)
+
+
+def _channel_stats(psum, psq, gamma, beta, num_groups, eps, count):
+    """(B, nH, C) partials -> per-(b,c) affine A, S and saved (mu_c, rstd_c)."""
+    B, _, C = psum.shape
+    cg = C // num_groups
+    s_c = jnp.sum(psum, axis=1)   # (B, C)
+    q_c = jnp.sum(psq, axis=1)    # (B, C)
+    s_g = jnp.sum(s_c.reshape(B, num_groups, cg), axis=-1)
+    q_g = jnp.sum(q_c.reshape(B, num_groups, cg), axis=-1)
+    mu_g = s_g / count
+    var_g = q_g / count - mu_g * mu_g
+    rstd_g = jax.lax.rsqrt(var_g + eps)
+    mu_c = jnp.repeat(mu_g, cg, axis=-1)      # (B, C)
+    rstd_c = jnp.repeat(rstd_g, cg, axis=-1)  # (B, C)
+    gf = gamma.astype(jnp.float32)[None, :]
+    bf = beta.astype(jnp.float32)[None, :]
+    A = gf * rstd_c
+    S = bf - mu_c * A
+    return A, S, mu_c, rstd_c
+
+
+def _block_specs(B, H, W, C, hb, dtype):
+    x_spec = pl.BlockSpec((1, hb, W, C), lambda b, i: (b, i, 0, 0),
+                          memory_space=pltpu.VMEM)
+    # per-(b,c) vectors as (B, 8, C) broadcast rows; partials as
+    # (B, nH, 8, C) — last two block dims (8, C) satisfy TPU tiling
+    row_spec = pl.BlockSpec((1, 8, C), lambda b, i: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    part_spec = pl.BlockSpec((1, 1, 8, C), lambda b, i: (b, i, 0, 0),
+                             memory_space=pltpu.VMEM)
+    return x_spec, row_spec, part_spec
+
+
+def _as_row8(v, B, C):
+    """(B, C) -> (B, 8, C) broadcast copy for the row_spec layout."""
+    return jnp.broadcast_to(
+        v.astype(jnp.float32)[:, None, :], (B, 8, C)
+    )
+
+
+def _forward_tiled(x, gamma, beta, tb, num_groups, eps, interpret=False):
     B, H, W, C = x.shape
-    kernel = functools.partial(_kernel, num_groups=num_groups, eps=eps)
-    return pl.pallas_call(
-        kernel,
+    hb = _pick_hb(H, W, C, x.dtype.itemsize)
+    nH = H // hb
+    x_spec, row_spec, part_spec = _block_specs(B, H, W, C, hb, x.dtype)
+    part_shape = jax.ShapeDtypeStruct((B, nH, 8, C), jnp.float32)
+    tb8 = _as_row8(tb, B, C)
+
+    psum, psq = pl.pallas_call(
+        _moments_kernel,
+        grid=(B, nH),
+        in_specs=[x_spec, row_spec],
+        out_specs=(part_spec, part_spec),
+        out_shape=(part_shape, part_shape),
+        interpret=interpret,
+    )(x, tb8)
+
+    count = float(H * W * (C // num_groups))
+    A, S, mu_c, rstd_c = _channel_stats(
+        psum[:, :, 0, :], psq[:, :, 0, :], gamma, beta, num_groups, eps, count
+    )
+
+    y = pl.pallas_call(
+        _apply_kernel,
+        grid=(B, nH),
+        in_specs=[x_spec, row_spec, row_spec, row_spec],
+        out_specs=x_spec,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
-        grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (1, H, W, C), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
         cost_estimate=pl.CostEstimate(
-            flops=10 * B * H * W * C,
+            flops=8 * B * H * W * C,
             bytes_accessed=2 * B * H * W * C * x.dtype.itemsize,
             transcendentals=B * H * W * C,
         ),
-    )(x, scale.reshape(1, C), bias.reshape(1, C))
+        interpret=interpret,
+    )(x, tb8, _as_row8(A, B, C), _as_row8(S, B, C))
+    return y, mu_c, rstd_c
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def gn_silu(x, scale, bias, num_groups: int, eps: float = 1e-6):
-    """Fused GroupNorm+SiLU; (B,H,W,C) in, same shape/dtype out."""
-    return _forward(x, scale, bias, num_groups, eps)
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+def _bwd_partial_kernel(x_ref, tb_ref, dy_ref, mu_ref, rstd_ref, g_ref, b_ref,
+                        sdz_ref, sdzx_ref):
+    """Recompute z, dz = dy * silu'(z); emit per-block sum(dz), sum(dz*xhat)."""
+    C = x_ref.shape[-1]
+    u = x_ref[0].astype(jnp.float32) + _row(tb_ref)
+    xhat = (u - _row(mu_ref)) * _row(rstd_ref)
+    z = xhat * _row(g_ref) + _row(b_ref)
+    sig = jax.nn.sigmoid(z)
+    dz = dy_ref[0].astype(jnp.float32) * sig * (1.0 + z * (1.0 - sig))
+    flat_dz = dz.reshape(-1, C)
+    flat_dzx = (dz * xhat).reshape(-1, C)
+    sdz_ref[0, 0] = jnp.broadcast_to(
+        jnp.sum(flat_dz, axis=0, keepdims=True), (8, C))
+    sdzx_ref[0, 0] = jnp.broadcast_to(
+        jnp.sum(flat_dzx, axis=0, keepdims=True), (8, C))
 
 
-def _fwd(x, scale, bias, num_groups, eps):
-    return _forward(x, scale, bias, num_groups, eps), (x, scale, bias)
+def _bwd_apply_kernel(x_ref, tb_ref, dy_ref, mu_ref, rstd_ref, g_ref, b_ref,
+                      m1_ref, m2_ref, dx_ref, sdu_ref):
+    """dx = (dz*gamma - m1 - xhat*m2) * rstd; emit per-block sum(du) for the
+    time-bias gradient."""
+    C = x_ref.shape[-1]
+    u = x_ref[0].astype(jnp.float32) + _row(tb_ref)
+    rstd = _row(rstd_ref)
+    xhat = (u - _row(mu_ref)) * rstd
+    z = xhat * _row(g_ref) + _row(b_ref)
+    sig = jax.nn.sigmoid(z)
+    dz = dy_ref[0].astype(jnp.float32) * sig * (1.0 + z * (1.0 - sig))
+    du = (dz * _row(g_ref) - _row(m1_ref) - xhat * _row(m2_ref)) * rstd
+    dx_ref[0] = du.astype(dx_ref.dtype)
+    sdu_ref[0, 0] = jnp.broadcast_to(
+        jnp.sum(du.reshape(-1, C), axis=0, keepdims=True), (8, C))
 
 
-def _bwd(num_groups, eps, res, g):
-    x, scale, bias = res
-    _, vjp = jax.vjp(
-        lambda xx, ss, bb: gn_silu_reference(xx, ss, bb, num_groups, eps),
-        x, scale, bias,
+def _backward_tiled(x, gamma, beta, tb, mu_c, rstd_c, num_groups, eps, dy,
+                    interpret=False):
+    B, H, W, C = x.shape
+    cg = C // num_groups
+    hb = _pick_hb(H, W, C, x.dtype.itemsize)
+    nH = H // hb
+    x_spec, row_spec, part_spec = _block_specs(B, H, W, C, hb, x.dtype)
+    part_shape = jax.ShapeDtypeStruct((B, nH, 8, C), jnp.float32)
+    gf = gamma.astype(jnp.float32)[None, :]
+    bf = beta.astype(jnp.float32)[None, :]
+    tb8 = _as_row8(tb, B, C)
+    mu8 = _as_row8(mu_c, B, C)
+    rstd8 = _as_row8(rstd_c, B, C)
+    g8 = _as_row8(jnp.broadcast_to(gf, (B, C)), B, C)
+    b8 = _as_row8(jnp.broadcast_to(bf, (B, C)), B, C)
+
+    sdz, sdzx = pl.pallas_call(
+        _bwd_partial_kernel,
+        grid=(B, nH),
+        in_specs=[x_spec, row_spec, x_spec, row_spec, row_spec, row_spec,
+                  row_spec],
+        out_specs=(part_spec, part_spec),
+        out_shape=(part_shape, part_shape),
+        interpret=interpret,
+    )(x, tb8, dy, mu8, rstd8, g8, b8)
+
+    S1 = jnp.sum(sdz[:, :, 0, :], axis=1)    # (B, C): sum dz
+    S2 = jnp.sum(sdzx[:, :, 0, :], axis=1)   # (B, C): sum dz*xhat
+    dbeta = jnp.sum(S1, axis=0).astype(beta.dtype)
+    dgamma = jnp.sum(S2, axis=0).astype(gamma.dtype)
+
+    count = float(H * W * cg)
+    # per-group correction moments of dxhat = dz*gamma
+    m1_g = jnp.sum((S1 * gf).reshape(B, num_groups, cg), axis=-1) / count
+    m2_g = jnp.sum((S2 * gf).reshape(B, num_groups, cg), axis=-1) / count
+    m1_c = jnp.repeat(m1_g, cg, axis=-1)
+    m2_c = jnp.repeat(m2_g, cg, axis=-1)
+
+    dx, sdu = pl.pallas_call(
+        _bwd_apply_kernel,
+        grid=(B, nH),
+        in_specs=[x_spec, row_spec, x_spec, row_spec, row_spec, row_spec,
+                  row_spec, row_spec, row_spec],
+        out_specs=(x_spec, part_spec),
+        out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype), part_shape),
+        interpret=interpret,
+    )(x, tb8, dy, mu8, rstd8, g8, b8, _as_row8(m1_c, B, C),
+      _as_row8(m2_c, B, C))
+
+    dtb = jnp.sum(sdu[:, :, 0, :], axis=1).astype(tb.dtype)  # (B, C)
+    return dx, dgamma, dbeta, dtb
+
+
+# ---------------------------------------------------------------------------
+# public ops (custom VJP)
+# ---------------------------------------------------------------------------
+
+def _use_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def gn_silu_bias(x, scale, bias, time_bias, num_groups: int, eps: float = 1e-6):
+    """Fused (x + time_bias[:, None, None, :]) -> GroupNorm -> SiLU.
+
+    x (B,H,W,C); scale/bias (C,); time_bias (B,C).  Differentiable in all
+    four tensor args; statistics fp32; output in x.dtype.  Spatially tiled —
+    works at 256x256x128 and beyond (the HBM-bound ResBlock epilogue).
+    """
+    y, _, _ = _forward_tiled(x, scale, bias, time_bias, num_groups, eps,
+                             interpret=_use_interpret())
+    return y
+
+
+def _gnb_fwd(x, scale, bias, time_bias, num_groups, eps):
+    y, mu_c, rstd_c = _forward_tiled(
+        x, scale, bias, time_bias, num_groups, eps, interpret=_use_interpret()
     )
-    return vjp(g)
+    return y, (x, scale, bias, time_bias, mu_c, rstd_c)
 
 
-gn_silu.defvjp(_fwd, _bwd)
+def _gnb_bwd(num_groups, eps, res, dy):
+    x, scale, bias, time_bias, mu_c, rstd_c = res
+    dx, dgamma, dbeta, dtb = _backward_tiled(
+        x, scale, bias, time_bias, mu_c, rstd_c, num_groups, eps, dy,
+        interpret=_use_interpret(),
+    )
+    return dx, dgamma, dbeta, dtb
+
+
+gn_silu_bias.defvjp(_gnb_fwd, _gnb_bwd)
+
+
+def gn_silu(x, scale, bias, num_groups: int, eps: float = 1e-6):
+    """Fused GroupNorm+SiLU (no time bias); (B,H,W,C) in, same out."""
+    B, _, _, C = x.shape
+    zero_tb = jnp.zeros((B, C), jnp.float32)
+    return gn_silu_bias(x, scale, bias, zero_tb, num_groups, eps)

@@ -1,0 +1,157 @@
+"""Encoder-cached fast DDIM sampling (Faster-Diffusion / DeepCache family).
+
+Encoder + bottleneck features of a diffusion U-Net vary slowly across
+adjacent timesteps; caching them and re-running ONLY the decoder (with the
+fresh time embedding) on "reuse" steps removes ~40-50% of the sampler FLOPs
+with minimal sample drift (PAPERS.md: "Faster Diffusion", "Cache Me if You
+Can").  This is a beyond-parity inference feature — the reference has no
+inference acceleration beyond step-count reduction.
+
+TPU shape: the whole trajectory stays ONE compiled ``lax.scan``; each step
+picks refresh-vs-reuse with ``lax.cond`` (XLA executes one branch), and the
+cached (mid, skips) pytree rides in the scan carry.  ``refresh_every=1``
+reproduces exact DDIM semantics (same ladder, key-folding and step math;
+outputs agree up to XLA fusion-level float reassociation between the two
+compiled programs).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.diffusion import ddim_step
+from ..ops.schedules import DiffusionSchedule
+from .timesteps import build_ddim_schedule
+
+__all__ = ["ddim_sample_loop_cached", "ddim_sample_fast"]
+
+
+def ddim_sample_loop_cached(
+    model,
+    params,
+    sched: DiffusionSchedule,
+    x_init: jnp.ndarray,
+    key: jax.Array,
+    *,
+    timesteps: Optional[np.ndarray] = None,
+    schedule_kind: str = "t_linear",
+    steps: int = 50,
+    eta: float = 0.0,
+    refresh_every: int = 2,
+    clip_x0: Optional[bool] = None,
+) -> jnp.ndarray:
+    """DDIM reverse loop with encoder-feature reuse every ``refresh_every``
+    steps.  Semantically identical to ``ddim_sample_loop`` at
+    ``refresh_every=1``."""
+    if timesteps is None:
+        timesteps = build_ddim_schedule(
+            schedule_kind, steps, sched.T,
+            alphas_cumprod=np.asarray(sched.alphas_cumprod),
+        )
+    ts = np.asarray(timesteps, dtype=np.int32)
+    t_cur = ts[:-1] if len(ts) > 1 else ts
+    t_prev = ts[1 : len(t_cur) + 1]
+    refresh = np.zeros(len(t_cur), dtype=bool)
+    refresh[:: max(1, int(refresh_every))] = True
+    refresh[0] = True  # the first step has no cache to reuse
+
+    B = x_init.shape[0]
+
+    def full_apply(x, t):
+        return model.apply(params, x, t, return_features=True)
+
+    def decode_apply(x, t, feats):
+        return model.apply(params, x, t, mode="decode", cached=feats)
+
+    # concrete feature shapes for the scan carry (zeros; step 0 refreshes)
+    feat_shapes = jax.eval_shape(
+        full_apply, x_init, jnp.zeros((B,), jnp.int32)
+    )[1]
+    feats0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), feat_shapes)
+
+    def body(carry, step):
+        x, feats = carry
+        tc, tp, do_refresh = step
+        t = jnp.full((B,), tc, dtype=jnp.int32)
+
+        def branch_refresh(x, t, feats):
+            eps, new_feats = full_apply(x, t)
+            return eps, new_feats
+
+        def branch_reuse(x, t, feats):
+            return decode_apply(x, t, feats), feats
+
+        eps, feats = jax.lax.cond(do_refresh, branch_refresh, branch_reuse,
+                                  x, t, feats)
+        tprev = jnp.full((B,), tp, dtype=jnp.int32)
+        noise = jax.random.normal(
+            jax.random.fold_in(key, tc), x.shape, dtype=x.dtype
+        )
+        x = ddim_step(
+            sched, lambda *_: eps, x, t, tprev, noise, eta=eta, clip_x0=clip_x0
+        )
+        return (x, feats), None
+
+    xs = (
+        jnp.asarray(t_cur),
+        jnp.asarray(t_prev),
+        jnp.asarray(refresh),
+    )
+    (x, _), _ = jax.lax.scan(body, (x_init, feats0), xs)
+    return x
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "shape", "ts", "eta", "refresh_every"),
+)
+def _ddim_cached_jit(model, params, sched, key, shape, ts, eta, refresh_every):
+    kx, kloop = jax.random.split(key)
+    x = jax.random.normal(kx, shape, dtype=jnp.float32)
+    return ddim_sample_loop_cached(
+        model, params, sched, x, kloop,
+        timesteps=np.asarray(ts, np.int32), eta=eta,
+        refresh_every=refresh_every, clip_x0=True,
+    )
+
+
+def ddim_sample_fast(
+    model,
+    params,
+    sched: DiffusionSchedule,
+    *,
+    n: int = 16,
+    img_size: int = 64,
+    ema_params=None,
+    save_path: Optional[str] = None,
+    seed: int = 1234,
+    steps: int = 50,
+    eta: float = 0.0,
+    schedule_kind: str = "t_linear",
+    refresh_every: int = 2,
+) -> np.ndarray:
+    """Grid sampler with encoder caching; same surface as
+    ``sampling.inference.ddim_sample`` plus ``refresh_every``."""
+    from .loops import to_unit_interval
+
+    p = ema_params if ema_params is not None else params
+    ts = build_ddim_schedule(
+        schedule_kind, steps, sched.T,
+        alphas_cumprod=np.asarray(sched.alphas_cumprod),
+    )
+    x = _ddim_cached_jit(
+        model, p, sched, jax.random.key(seed),
+        (n, img_size, img_size, model.config.in_channels),
+        tuple(int(t) for t in ts), float(eta), int(refresh_every),
+    )
+    x01 = np.asarray(to_unit_interval(x))
+    if save_path:
+        from ..utils.images import save_image_grid
+
+        save_image_grid(x01, save_path, nrow=int(n**0.5))
+    return x01

@@ -22,6 +22,9 @@ def main():
     ap.add_argument("--n", type=int, default=512)
     ap.add_argument("--workers", type=int, default=8)
     ap.add_argument("--img-size", type=int, default=64)
+    ap.add_argument("--src", default="celeba", choices=["celeba", "hq256"],
+                    help="source corpus: CelebA-aligned 178x218 (crop 178) "
+                         "or CelebA-HQ-style 256x256 (no crop)")
     args = ap.parse_args()
 
     from PIL import Image
@@ -30,18 +33,25 @@ def main():
     from ddpm_diffusion_model_tpu.data.transforms import make_celeba_transform
     from ddpm_diffusion_model_tpu.native import native_available
 
+    if args.src == "hq256":
+        src_shape, crop = (256, 256, 3), None
+        args.img_size = 256
+    else:
+        src_shape, crop = (218, 178, 3), 178
+
     root = tempfile.mkdtemp(prefix="loaderbench_")
     rng = np.random.default_rng(0)
     for i in range(args.n):
-        arr = (rng.random((218, 178, 3)) * 255).astype(np.uint8)
+        arr = (rng.random(src_shape) * 255).astype(np.uint8)
         Image.fromarray(arr).save(os.path.join(root, f"{i:05d}.jpg"), quality=95)
 
-    transform = make_celeba_transform(args.img_size, crop=178)
-    print(f"corpus: {args.n} jpegs | native_available={native_available()}")
+    transform = make_celeba_transform(args.img_size, crop=crop)
+    print(f"corpus: {args.n} jpegs {src_shape} -> {args.img_size}px"
+          f" | native_available={native_available()}")
 
     for use_native, label in ((True, "native C++"), (False, "PIL")):
         ds = ImageFolderDataset(
-            root, transform, img_size=args.img_size, crop=178,
+            root, transform, img_size=args.img_size, crop=crop,
             use_native=use_native,
         )
         dl = DataLoader(ds, 64, shuffle=False, num_workers=args.workers,
