@@ -61,6 +61,21 @@ def bench_sampling(args):
             np.asarray(x)
         results["ddim50_samples_per_s"] = 3 * n / (time.perf_counter() - t0)
 
+    if args.sampler in ("fast", "both"):
+        # encoder-cached DDIM-50 (sampling/fast.py), refresh every 2nd step
+        from ddpm_diffusion_model_tpu.sampling.fast import _ddim_cached_jit
+
+        ts = tuple(int(t) for t in build_ddim_schedule("t_linear", 50, 1000))
+        x = _ddim_cached_jit(model, params, sched, jax.random.key(5), shape,
+                             ts, 0.0, 2)
+        np.asarray(x)  # true sync
+        t0 = time.perf_counter()
+        for _ in range(3):
+            x = _ddim_cached_jit(model, params, sched, jax.random.key(6),
+                                 shape, ts, 0.0, 2)
+            np.asarray(x)
+        results["ddim50_cached_samples_per_s"] = 3 * n / (time.perf_counter() - t0)
+
     for k, v in results.items():
         print(json.dumps({"metric": k, "value": round(v, 2), "unit": "samples/s",
                           "vs_baseline": None}))
@@ -70,7 +85,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", default="attn", choices=list(BASELINES))
     ap.add_argument("--mode", default="train", choices=["train", "sample"])
-    ap.add_argument("--sampler", default="both", choices=["ddpm", "ddim", "both"])
+    ap.add_argument("--sampler", default="both",
+                    choices=["ddpm", "ddim", "fast", "both"])
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--batch", type=int, help="override batch size")

@@ -67,7 +67,8 @@ def _exp_from_args(args):
             with open(meta_path) as f:
                 meta = json.load(f)
             if meta.get("configs", {}).get("experiment"):
-                return ExperimentConfig.from_dict(meta["configs"]["experiment"])
+                return ExperimentConfig.from_dict(
+                    meta["configs"]["experiment"], legacy=True)
     return exp
 
 

@@ -26,7 +26,8 @@ from flax import struct
 
 from .ema import ema_init
 
-__all__ = ["TrainConfig", "TrainState", "make_lr_schedule", "make_optimizer", "init_train_state"]
+__all__ = ["TrainConfig", "TrainState", "make_lr_schedule", "flatten_optimizer",
+           "make_optimizer", "init_train_state"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -45,12 +46,31 @@ class TrainConfig:
     # per-timestep loss re-weighting: None|"uniform"|"snr"|"p2"|"min_snr_5"
     # (the reference's loss_simple weight arg, promoted to a config knob)
     loss_weighting: Optional[str] = None
+    # run clip+AdamW on ONE raveled fp32 vector instead of ~300 small leaves
+    # (each leaf costs per-op dispatch overhead on TPU; see docs/BENCH.md
+    # "optimizer tail").  Numerically identical up to fp reassociation of the
+    # global norm.  opt_state layout changes; resume rebuilds tx from this
+    # config, so checkpoints are self-consistent either way.
+    flat_optimizer: bool = True
+    # PRNG family for dropout masks: "rbg" uses the TPU hardware generator
+    # (~3x faster than threefry for the ~560M bernoulli draws/step of the
+    # 64px config); masks are decorrelated noise either way, training
+    # semantics are unchanged.  "threefry" keeps the JAX default.
+    dropout_rng_impl: str = "rbg"
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
 
     @classmethod
-    def from_dict(cls, d: dict) -> "TrainConfig":
+    def from_dict(cls, d: dict, *, legacy: bool = False) -> "TrainConfig":
+        """``legacy=True`` is for checkpoint metas written before the r2
+        perf knobs existed: those runs used the tree optimizer and threefry
+        dropout, and restoring them needs the matching opt_state structure.
+        Fresh user config files (legacy=False) get the modern defaults."""
+        d = dict(d)
+        if legacy:
+            d.setdefault("flat_optimizer", False)
+            d.setdefault("dropout_rng_impl", "threefry")
         return cls(**d)
 
 
@@ -76,11 +96,58 @@ def make_lr_schedule(cfg: TrainConfig) -> optax.Schedule:
     return schedule
 
 
+def flatten_optimizer(
+    tx: optax.GradientTransformation,
+) -> optax.GradientTransformation:
+    """Run ``tx`` over ONE raveled vector instead of the parameter pytree.
+
+    The U-Net's ~300 small parameter leaves make the optimizer tail
+    dispatch-bound on TPU: every optax stage (clip scale, m, v, update, wd,
+    apply) emits one fused kernel PER LEAF.  Raveling turns that into a
+    handful of kernels over one contiguous fp32 vector; only the final
+    ``unravel`` (one slice+reshape per leaf) remains per-leaf work.
+
+    Numerics: identical to the tree version up to float reassociation —
+    ``global_norm``/Adam moments/weight decay are all elementwise or
+    whole-tree reductions with no per-leaf semantics (no masking is used
+    anywhere in this framework's optimizers).
+
+    The vector is zero-padded to a multiple of 8192 so the optimizer-state
+    leaves stay FSDP-shardable (``fsdp_leaf_spec`` needs divisibility by the
+    mesh axis; a raw param count is usually odd).  Padded grads are zero, so
+    moments/updates on the pad stay exactly zero and the global norm is
+    unchanged.
+    """
+    from jax.flatten_util import ravel_pytree
+
+    _MULTIPLE = 8192
+
+    def _pad(flat):
+        n = flat.shape[0]
+        rem = (-n) % _MULTIPLE
+        return jnp.pad(flat, (0, rem)) if rem else flat
+
+    def init(params):
+        flat, _ = ravel_pytree(params)
+        return tx.init(_pad(flat))
+
+    def update(grads, state, params=None):
+        flat_g, unravel = ravel_pytree(grads)
+        n = flat_g.shape[0]
+        flat_p = _pad(ravel_pytree(params)[0]) if params is not None else None
+        flat_u, state = tx.update(_pad(flat_g), state, flat_p)
+        return unravel(flat_u[:n]), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     """clip-by-global-norm (optional) -> AdamW(warmup schedule).
 
     The reference clips with ``torch.nn.utils.clip_grad_norm_``
     (``train_one_epoch.py:102-105``) then steps Adam/AdamW; identical order.
+    With ``cfg.flat_optimizer`` the chain runs on one raveled vector (see
+    :func:`flatten_optimizer`).
     """
     parts = []
     if cfg.grad_clip is not None:
@@ -93,7 +160,8 @@ def make_optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
             weight_decay=cfg.weight_decay,
         )
     )
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    return flatten_optimizer(tx) if cfg.flat_optimizer else tx
 
 
 def init_train_state(

@@ -36,7 +36,26 @@ __all__ = ["make_train_step", "make_probe_fn", "make_loss_fn", "resolve_weight_f
 Metrics = Dict[str, jnp.ndarray]
 
 
-def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule, weight_fn=None):
+def _dropout_key(key: jax.Array, impl: str) -> jax.Array:
+    """Re-key the dropout stream onto a (possibly faster) PRNG family.
+
+    ``"rbg"`` maps the threefry-derived key onto the TPU's hardware
+    RngBitGenerator — ~3x cheaper bits for the ~560M bernoulli draws a 64px
+    train forward makes (22 ResBlock masks).  Masks stay deterministic in
+    the step key; only WHICH decorrelated mask is drawn changes, which has
+    no training semantics.  ``"threefry"`` is the JAX default stream."""
+    if impl in (None, "threefry", "threefry2x32"):
+        return key
+    if impl == "rbg":
+        data = jax.random.key_data(key)  # (2,) uint32 for threefry keys
+        return jax.random.wrap_key_data(
+            jnp.concatenate([data, data]), impl="rbg"
+        )
+    raise ValueError(f"unknown dropout_rng_impl {impl!r}")
+
+
+def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule, weight_fn=None,
+                 dropout_rng_impl: str = "threefry"):
     """(params, x, key) -> scalar L_simple with fresh t ~ U{1..T-1} and
     fresh noise, dropout active (training mode).
 
@@ -48,6 +67,7 @@ def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule, weight_fn=None):
 
     def loss_fn(params, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         kt, kn, kd = jax.random.split(key, 3)
+        kd = _dropout_key(kd, dropout_rng_impl)
         t = sample_timesteps(kt, x.shape[0], sched.T)
         noise = jax.random.normal(kn, x.shape, dtype=jnp.float32)
 
@@ -101,7 +121,8 @@ def make_train_step(
     reference's loss/k + deferred step."""
 
     loss_fn = make_loss_fn(
-        model, sched, weight_fn=resolve_weight_fn(cfg.loss_weighting)
+        model, sched, weight_fn=resolve_weight_fn(cfg.loss_weighting),
+        dropout_rng_impl=getattr(cfg, "dropout_rng_impl", "threefry"),
     )
     accum = max(1, int(cfg.grad_accum_steps))
     lr_schedule = make_lr_schedule(cfg)

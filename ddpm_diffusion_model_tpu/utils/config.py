@@ -47,11 +47,14 @@ class ExperimentConfig:
         return d
 
     @classmethod
-    def from_dict(cls, d: Dict[str, Any]) -> "ExperimentConfig":
+    def from_dict(cls, d: Dict[str, Any], *, legacy: bool = False) -> "ExperimentConfig":
+        """``legacy=True`` only when loading a checkpoint meta (reproduces
+        pre-r2 optimizer/RNG behaviors for old checkpoints — see
+        TrainConfig.from_dict); fresh config files get modern defaults."""
         d = dict(d)
         d["model"] = UNetConfig.from_dict(d["model"])
         d["diffusion"] = DiffusionConfig.from_dict(d["diffusion"])
-        d["train"] = TrainConfig.from_dict(d["train"])
+        d["train"] = TrainConfig.from_dict(d["train"], legacy=legacy)
         return cls(**d)
 
     def to_json(self) -> str:

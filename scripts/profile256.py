@@ -36,6 +36,13 @@ def sync(x):
     return float(jax.device_get(jnp.sum(leaf)))
 
 
+def grad_sum(g):
+    # fold grads into the returned scalar: without this, a jitted
+    # value_and_grad whose grads are unused gets its WHOLE backward pass
+    # dead-code-eliminated and "fwd+bwd" rows silently measure fwd only
+    return sum(jnp.sum(v.astype(jnp.float32)) for v in jax.tree.leaves(g))
+
+
 def timeit(fn, *args, steps=8, warmup=2):
     for _ in range(warmup):
         out = fn(*args)
@@ -114,7 +121,7 @@ def main():
             def loss(p, xx):
                 return jnp.sum(blk.apply(p, xx, t_emb).astype(jnp.float32) ** 2)
             l, g = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
-            return l
+            return l + grad_sum(g)
 
         ms = timeit(fwdbwd, params, x, steps=args.steps)
         report(f"ResBlock fwd+bwd {name}", ms)
@@ -134,7 +141,7 @@ def main():
                     jax.nn.silu(gn.apply(p, xx)).astype(jnp.float32) ** 2
                 )
             l, g = jax.value_and_grad(loss, argnums=(0, 1))(params, x)
-            return l
+            return l + grad_sum(g)
 
         ms = timeit(gnloss, params, x, steps=args.steps)
         gb = 2 * np.prod(shape) * 2 / 1e9
@@ -150,7 +157,7 @@ def main():
         def loss(pp, xx):
             return jnp.sum(attn.apply(pp, xx).astype(jnp.float32) ** 2)
         l, g = jax.value_and_grad(loss, argnums=(0, 1))(p, x)
-        return l
+        return l + grad_sum(g)
 
     report("AttnBlock fwd+bwd 16x16x512", timeit(attnloss, pa, xa, steps=args.steps))
 

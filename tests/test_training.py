@@ -414,3 +414,120 @@ def test_train_ddpm_reports_rfid(setup, tmp_path, capsys):
     assert "rFID=" in out
     assert "rfid" in summary["epochs"][-1]
     assert summary["epochs"][-1]["rfid"] >= 0.0
+
+
+# ---------- flat optimizer + dropout RNG family (round-2 perf knobs) ----------
+
+
+def test_flat_optimizer_matches_tree(setup):
+    """flatten_optimizer applies the same clip+AdamW math as the tree
+    optimizer.  Compared on FIXED synthetic grads (feeding both through a
+    model step would compare two different XLA programs, whose bf16 fusion
+    differences Adam amplifies to O(lr) — see test_parallel's DP note)."""
+    model, sched, params = setup
+    cfg_tree = TrainConfig(base_lr=1e-3, warmup_steps=None, flat_optimizer=False)
+    cfg_flat = TrainConfig(base_lr=1e-3, warmup_steps=None, flat_optimizer=True)
+    tx_tree = make_optimizer(cfg_tree)
+    tx_flat = make_optimizer(cfg_flat)
+
+    keys = iter(jax.random.split(jax.random.key(7), 100))
+    grads = jax.tree.map(
+        lambda p: jax.random.normal(next(keys), p.shape, p.dtype) * 0.01, params)
+
+    p1 = p2 = params
+    s1, s2 = tx_tree.init(p1), tx_flat.init(p2)
+    import optax
+    for _ in range(3):
+        u1, s1 = tx_tree.update(grads, s1, p1)
+        p1 = optax.apply_updates(p1, u1)
+        u2, s2 = tx_flat.update(grads, s2, p2)
+        p2 = optax.apply_updates(p2, u2)
+
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-8)
+
+
+def test_flat_optimizer_state_is_fsdp_shardable(setup):
+    """The padded flat m/v leaves divide any power-of-two mesh axis."""
+    from ddpm_diffusion_model_tpu.parallel.sharding import fsdp_leaf_spec
+    from ddpm_diffusion_model_tpu.parallel.mesh import make_mesh
+
+    model, sched, params = setup
+    cfg = TrainConfig(flat_optimizer=True)
+    tx = make_optimizer(cfg)
+    opt_state = tx.init(params)
+    mesh = make_mesh((2, 4), ("data", "fsdp"))
+    big = [leaf for leaf in jax.tree.leaves(opt_state)
+           if hasattr(leaf, "ndim") and leaf.ndim == 1 and leaf.size > 8192]
+    assert big, "expected flat moment vectors in opt_state"
+    for leaf in big:
+        assert leaf.shape[0] % 8192 == 0
+        spec = fsdp_leaf_spec(
+            jax.ShapeDtypeStruct(leaf.shape, leaf.dtype), mesh)
+        assert spec == jax.sharding.PartitionSpec("fsdp")
+
+
+def test_flat_optimizer_checkpoint_roundtrip(setup, tmp_path):
+    model, sched, params = setup
+    cfg = TrainConfig(base_lr=1e-3, warmup_steps=5, flat_optimizer=True)
+    tx = make_optimizer(cfg)
+    state, _ = init_train_state(params, cfg, tx=tx)
+    step = make_train_step(model, sched, tx, cfg)
+    batch = jnp.asarray(
+        np.random.default_rng(0).normal(size=(4, RES, RES, 3)).astype(np.float32))
+    state, _ = step(state, batch)
+    p = save_checkpoint(str(tmp_path / "flat"), state, epoch=0)
+    template, _ = init_train_state(params, cfg, tx=tx)
+    restored, _ = load_checkpoint(p, template)
+    for a, b in zip(jax.tree.leaves(restored.opt_state),
+                    jax.tree.leaves(state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_train_config_from_dict_legacy_defaults():
+    """Checkpoint metas written before the r2 knobs (legacy=True) restore
+    the legacy behaviors; fresh config files get the modern defaults."""
+    pre_r2 = {k: v for k, v in TrainConfig().to_dict().items()
+              if k not in ("flat_optimizer", "dropout_rng_impl")}
+    cfg = TrainConfig.from_dict(pre_r2, legacy=True)
+    assert cfg.flat_optimizer is False
+    assert cfg.dropout_rng_impl == "threefry"
+    # a fresh config file omitting the knobs gets the modern defaults
+    fresh = TrainConfig.from_dict(pre_r2)
+    assert fresh.flat_optimizer is True
+    assert fresh.dropout_rng_impl == "rbg"
+    # and a modern round trip preserves explicit values either way
+    assert TrainConfig.from_dict(TrainConfig().to_dict(), legacy=True).flat_optimizer is True
+
+
+def test_dropout_rng_impl_rbg_trains(setup):
+    """rbg dropout keys: step runs, loss finite, and the mask stream really
+    changes (loss differs from the threefry run on the same step key)."""
+    model, sched, params = setup
+    batch = jnp.asarray(
+        np.random.default_rng(5).normal(size=(8, RES, RES, 3)).astype(np.float32) * 0.3)
+
+    losses = {}
+    for impl in ("threefry", "rbg"):
+        cfg = TrainConfig(base_lr=1e-3, warmup_steps=None, dropout_rng_impl=impl)
+        tx = make_optimizer(cfg)
+        state, _ = init_train_state(params, cfg, tx=tx)
+        step = make_train_step(model, sched, tx, cfg)
+        state, m = step(state, batch)
+        loss = float(m["loss"])
+        assert np.isfinite(loss)
+        losses[impl] = loss
+    # same t/noise stream (threefry), different dropout masks
+    assert losses["threefry"] != losses["rbg"]
+
+
+def test_dropout_key_identity_and_validation():
+    from ddpm_diffusion_model_tpu.training.step import _dropout_key
+
+    k = jax.random.key(0)
+    assert _dropout_key(k, "threefry") is k
+    krbg = _dropout_key(k, "rbg")
+    assert jax.random.bernoulli(krbg, 0.5, (16,)).shape == (16,)
+    with pytest.raises(ValueError):
+        _dropout_key(k, "nope")
