@@ -132,8 +132,25 @@ def cmd_train(args):
     model, sched = _build(exp)
     loader = _make_loader(args, exp)
 
+    mesh = None
+    if getattr(args, "mesh", "none") != "none":
+        # multi-chip run: one ('data',) mesh over every visible device; the
+        # loop places the state (replicated or FSDP-sharded) and XLA emits
+        # the gradient collectives over ICI (training/loop.py mesh= contract)
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"[MESH] {args.mesh} over {mesh.devices.size} devices")
+
     def sample_fn(model_, params_, sched_, *, n, img_size, save_path, seed):
         # returns per-sample [0,1] images so the loop can score rFID
+        if mesh is not None and n % mesh.shape["data"] == 0:
+            # SPMD sampling: every chip denoises its slice of the grid
+            from .sampling import sample_grid_sharded
+
+            return sample_grid_sharded(
+                model_, params_, sched_, mesh, kind="ddpm", n=n,
+                img_size=img_size, seed=seed, save_path=save_path)
         return ddpm_sample(model_, params_, sched_, n, img_size, seed=seed,
                            save_path=save_path, return_grid=False)
 
@@ -160,6 +177,7 @@ def cmd_train(args):
         log_grad_norm=args.probes,
         configs_for_ckpt={"experiment": exp.to_dict()},
         fid_reference=fid_ref,
+        mesh=mesh, fsdp=(getattr(args, "mesh", "none") == "fsdp"),
     )
     final = summary["epochs"][-1]["loss"] if summary["epochs"] else None
     out = {"final_loss": final}
@@ -174,6 +192,18 @@ def cmd_sample_ddpm(args):
 
     exp = _exp_from_args(args)
     model, sched, state, _ = _load_state(args.ckpt, exp)
+    if getattr(args, "sharded", False):
+        from .parallel import make_mesh
+        from .sampling import sample_grid_sharded
+
+        mesh = make_mesh()
+        sample_grid_sharded(
+            model, state.params, sched, mesh, kind="ddpm", n=args.n,
+            img_size=exp.img_size, seed=args.seed, save_path=args.out,
+            ema_params=state.ema_params if args.ema else None,
+        )
+        print(f"[INFER] grid -> {args.out} (sharded x{mesh.devices.size})")
+        return
     ddpm_infer_sample(
         model, state.params, sched, n=args.n, img_size=exp.img_size,
         ema_params=state.ema_params if args.ema else None,
@@ -187,6 +217,20 @@ def cmd_sample_ddim(args):
 
     exp = _exp_from_args(args)
     model, sched, state, _ = _load_state(args.ckpt, exp)
+    if getattr(args, "sharded", False):
+        from .parallel import make_mesh
+        from .sampling import sample_grid_sharded
+
+        mesh = make_mesh()
+        sample_grid_sharded(
+            model, state.params, sched, mesh, kind="ddim", n=args.n,
+            img_size=exp.img_size, seed=args.seed, steps=args.steps,
+            eta=args.eta, schedule_kind=args.schedule, save_path=args.out,
+            ema_params=state.ema_params if args.ema else None,
+        )
+        print(f"[INFER-DDIM] grid -> {args.out} (steps={args.steps},"
+              f" sharded x{mesh.devices.size})")
+        return
     ddim_infer_sample(
         model, state.params, sched, n=args.n, img_size=exp.img_size,
         ema_params=state.ema_params if args.ema else None,
@@ -248,6 +292,9 @@ def main(argv=None):
     sp.add_argument("--no-samples", action="store_true")
     sp.add_argument("--loss-weighting",
                     choices=["uniform", "snr", "p2", "min_snr_5"])
+    sp.add_argument("--mesh", default="none", choices=["none", "dp", "fsdp"],
+                    help="shard the run over all visible devices (DP batch "
+                         "sharding; fsdp also shards params/optimizer)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("sample-ddpm")
@@ -255,6 +302,8 @@ def main(argv=None):
     sp.add_argument("--n", type=int, default=36)
     sp.add_argument("--out", default="samples_ddpm.png")
     sp.add_argument("--individual", action="store_true")
+    sp.add_argument("--sharded", action="store_true",
+                    help="shard the batch over all devices (SPMD sampling)")
     sp.set_defaults(fn=cmd_sample_ddpm)
 
     sp = sub.add_parser("sample-ddim")
@@ -266,6 +315,8 @@ def main(argv=None):
                     choices=["t_linear", "alpha_bar_cosine", "cosine", "karras"])
     sp.add_argument("--out", default="samples_ddim.png")
     sp.add_argument("--individual", action="store_true")
+    sp.add_argument("--sharded", action="store_true",
+                    help="shard the batch over all devices (SPMD sampling)")
     sp.set_defaults(fn=cmd_sample_ddim)
 
     sp = sub.add_parser("strip")

@@ -9,3 +9,4 @@ from .inference import (  # noqa: F401
     render_denoise_strip_ddim,
 )
 from .fast import ddim_sample_fast, ddim_sample_loop_cached  # noqa: F401
+from .distributed import sample_grid_sharded  # noqa: F401

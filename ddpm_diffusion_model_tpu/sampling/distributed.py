@@ -1,0 +1,117 @@
+"""Mesh-sharded (data-parallel) sampling: one SPMD scan over all chips.
+
+The reference can only sample on its single GPU (``ddpm_inference.py:6-59``
+iterates one device's batch).  Here the whole reverse trajectory is already
+ONE compiled ``lax.scan`` (loops.py); sharding the batch over a mesh axis
+makes that same program SPMD — every chip denoises its slice of the grid,
+with zero per-step communication (the reverse process is embarrassingly
+parallel over samples; GroupNorm statistics are per-sample).  A v5e-8 slice
+therefore samples grids 8x faster with no code change to the loops.
+
+Usage::
+
+    mesh = make_mesh()                      # ('data',) over all devices
+    x01 = sample_grid_sharded(model, params, sched, mesh, kind="ddim",
+                              n=64, img_size=64, steps=50)
+
+``params`` may live anywhere; they are replicated onto the mesh.  ``n``
+must divide by the mesh's data-axis size (the natural grid sizes 16/36/64
+all divide typical slices; a clear error is raised otherwise).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..ops.schedules import DiffusionSchedule
+from .loops import ddim_sample_loop, ddpm_sample_loop, to_unit_interval
+from .timesteps import build_ddim_schedule
+
+__all__ = ["sample_grid_sharded"]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("model", "shape", "kind", "num_steps", "timesteps",
+                     "eta", "mesh", "axis"),
+)
+def _sharded_sample_jit(model, params, sched, key, shape, kind, num_steps,
+                        timesteps, eta, mesh, axis):
+    k_init, k_loop = jax.random.split(key)
+    x = jax.random.normal(k_init, shape, dtype=jnp.float32)
+    batch_sh = NamedSharding(mesh, P(axis))
+    x = jax.lax.with_sharding_constraint(x, batch_sh)
+    eps_fn = lambda xt, t: model.apply(params, xt, t)
+    if kind == "ddpm":
+        out, _ = ddpm_sample_loop(sched, eps_fn, x, k_loop,
+                                  num_steps=num_steps)
+    else:
+        out, _ = ddim_sample_loop(
+            sched, eps_fn, x, k_loop,
+            timesteps=np.asarray(timesteps, dtype=np.int32),
+            eta=eta, clip_x0=True,
+        )
+    return jax.lax.with_sharding_constraint(out, batch_sh)
+
+
+def sample_grid_sharded(
+    model,
+    params,
+    sched: DiffusionSchedule,
+    mesh: Mesh,
+    *,
+    kind: str = "ddim",
+    n: int = 64,
+    img_size: int = 64,
+    axis: str = "data",
+    seed: int = 1234,
+    steps: int = 50,
+    num_steps: Optional[int] = None,
+    eta: float = 0.0,
+    schedule_kind: str = "t_linear",
+    ema_params=None,
+    save_path: Optional[str] = None,
+) -> np.ndarray:
+    """Sample an ``n``-image grid with the batch sharded over ``mesh[axis]``.
+
+    Returns the gathered (n, H, W, C) [0,1] array on the host.  ``kind`` is
+    ``"ddpm"`` (ancestral, ``num_steps`` truncation like the reference's
+    ``training_utils.py:13``) or ``"ddim"`` (ladder of ``steps``).
+    """
+    if kind not in ("ddpm", "ddim"):
+        raise ValueError(f"kind must be 'ddpm' or 'ddim', got {kind!r}")
+    n_dev = mesh.shape[axis]
+    if n % n_dev:
+        raise ValueError(
+            f"n={n} must be divisible by the '{axis}' mesh axis ({n_dev})")
+
+    p = ema_params if ema_params is not None else params
+    p = jax.device_put(p, NamedSharding(mesh, P()))  # replicate
+    sched_dev = jax.device_put(sched, NamedSharding(mesh, P()))
+
+    ts = None
+    if kind == "ddim":
+        ts = tuple(
+            int(t) for t in build_ddim_schedule(
+                schedule_kind, steps, sched.T,
+                alphas_cumprod=np.asarray(sched.alphas_cumprod),
+            )
+        )
+
+    shape = (n, img_size, img_size, model.config.in_channels)
+    x = _sharded_sample_jit(
+        model, p, sched_dev, jax.random.key(seed), shape, kind,
+        num_steps, ts, float(eta), mesh, axis,
+    )
+    x01 = np.asarray(jax.device_get(to_unit_interval(x)))
+    if save_path:
+        from ..utils.images import save_image_grid
+
+        save_image_grid(x01, save_path, nrow=int(n**0.5))
+    return x01

@@ -16,6 +16,7 @@ directly); there is no GradScaler and no OOM-skip (static XLA memory; use
 
 from __future__ import annotations
 
+import json
 import os
 import time
 from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
@@ -207,6 +208,7 @@ def train_ddpm(
     # multi-chip (the layer the reference never had, SURVEY.md §2.6)
     mesh=None,
     fsdp: bool = False,
+    metrics_jsonl: Optional[str] = "auto",
 ) -> Tuple[TrainState, Dict[str, Any]]:
     """Full training run.  Returns (final_state, summary).
 
@@ -214,7 +216,14 @@ def train_ddpm(
     the run data-parallel — the state is placed replicated (or FSDP-sharded
     with ``fsdp=True``), every batch is device_put with DP sharding, and XLA
     emits the gradient collectives over ICI.  Single-chip behavior is
-    unchanged when ``mesh`` is None."""
+    unchanged when ``mesh`` is None.
+
+    ``metrics_jsonl``: machine-readable run log — one JSON line per epoch
+    (epoch, global_step, loss, lr, imgs/s, seconds, rFID when scored),
+    appended as the run progresses so dashboards can tail it.  ``"auto"``
+    (default) writes ``<ckpt_dir>/<run_name>_metrics.jsonl``; a path
+    overrides; ``None`` disables.  (The reference only has its stdout
+    table, ``train_one_epoch.py:124-155``.)"""
     cfg = train_config or TrainConfig()
     os.makedirs(ckpt_dir, exist_ok=True)
 
@@ -298,6 +307,12 @@ def train_ddpm(
     total_time = 0.0
     header_flag = [False]
     summary: Dict[str, Any] = {"epochs": []}
+    metrics_path = (
+        os.path.join(ckpt_dir, f"{run_name}_metrics.jsonl")
+        if metrics_jsonl == "auto" else metrics_jsonl
+    )
+    if metrics_path is not None:
+        summary["metrics_jsonl"] = metrics_path
 
     for epoch in range(start_epoch, epochs):
         t0 = time.time()
@@ -371,6 +386,12 @@ def train_ddpm(
                 f"└─ [SAMPLE] grid -> {out_path} | EMA_used={use_ema}"
                 f" | rel={rel:.3f}{fid_msg}"
             )
+
+        if metrics_path is not None:
+            rec = dict(summary["epochs"][-1], global_step=global_step,
+                       lr=lr_now, ts=time.time())
+            with open(metrics_path, "a") as f:
+                f.write(json.dumps(rec) + "\n")
 
         if save_every and (epoch % save_every == 0 or epoch == epochs - 1):
             ckpt_path = os.path.join(ckpt_dir, f"{run_name}_e{epoch:03d}")

@@ -94,3 +94,87 @@ def test_cli_train_and_sample_roundtrip(tmp_path, capsys, monkeypatch):
         "--steps", "4", "--out", png, "--ema",
     ])
     assert os.path.exists(png)
+
+
+def test_cli_train_mesh_and_sharded_sampling(tmp_path, capsys):
+    """`train --mesh dp` runs DP over the 8-device CPU mesh with the epoch
+    sampling hook routed through the SPMD sharded sampler (n=8 divides the
+    data axis), and `sample-ddim --sharded` samples the checkpoint SPMD."""
+    from ddpm_diffusion_model_tpu.cli import main
+
+    tiny = ExperimentConfig(
+        model=get_preset("celeba64_low").model.__class__(
+            base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+            attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+            img_resolution=8,
+        ),
+        diffusion=get_preset("celeba64_low").diffusion.__class__(T=20, img_size=8),
+        train=get_preset("celeba64_low").train.__class__(
+            base_lr=1e-3, warmup_steps=2, grad_accum_steps=1
+        ),
+        run_name="climesh", img_size=8, batch_size=8, epochs=1,
+        sample_every=1, sample_n=8, save_every=1,
+    )
+    cfg_path = str(tmp_path / "exp.json")
+    with open(cfg_path, "w") as f:
+        f.write(tiny.to_json())
+
+    ckpt_dir = str(tmp_path / "ck")
+    main([
+        "train", "--config", cfg_path, "--data", "synthetic",
+        "--synthetic-size", "32", "--ckpt-dir", ckpt_dir, "--mesh", "dp",
+    ])
+    out = capsys.readouterr().out
+    assert "[MESH] dp over 8 devices" in out
+    assert "[SAMPLE]" in out  # the sharded hook produced the grid
+    assert os.path.exists(os.path.join(ckpt_dir, "climesh_samples_e000.png"))
+    last = os.path.join(ckpt_dir, "climesh_last")
+    assert os.path.isdir(last)
+
+    png = str(tmp_path / "sharded.png")
+    main([
+        "sample-ddim", "--config", cfg_path, "--ckpt", last, "--n", "16",
+        "--steps", "4", "--out", png, "--ema", "--sharded",
+    ])
+    out = capsys.readouterr().out
+    assert "sharded x8" in out
+    assert os.path.exists(png)
+
+
+def test_cli_train_mesh_fsdp(tmp_path, capsys):
+    """`train --mesh fsdp` shards params/optimizer over the mesh and still
+    produces a loadable checkpoint."""
+    from ddpm_diffusion_model_tpu.cli import main
+
+    tiny = ExperimentConfig(
+        model=get_preset("celeba64_low").model.__class__(
+            base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+            attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+            img_resolution=8,
+        ),
+        diffusion=get_preset("celeba64_low").diffusion.__class__(T=20, img_size=8),
+        train=get_preset("celeba64_low").train.__class__(
+            base_lr=1e-3, warmup_steps=2, grad_accum_steps=1
+        ),
+        run_name="clifsdp", img_size=8, batch_size=8, epochs=1,
+        sample_every=10, save_every=1,
+    )
+    cfg_path = str(tmp_path / "exp.json")
+    with open(cfg_path, "w") as f:
+        f.write(tiny.to_json())
+
+    ckpt_dir = str(tmp_path / "ck")
+    main([
+        "train", "--config", cfg_path, "--data", "synthetic",
+        "--synthetic-size", "32", "--ckpt-dir", ckpt_dir, "--mesh", "fsdp",
+        "--no-samples",
+    ])
+    out = capsys.readouterr().out
+    assert "[MESH] fsdp over 8 devices" in out
+    png = str(tmp_path / "g.png")
+    main([
+        "sample-ddpm", "--config", cfg_path,
+        "--ckpt", os.path.join(ckpt_dir, "clifsdp_last"),
+        "--n", "8", "--out", png, "--sharded",
+    ])
+    assert os.path.exists(png)

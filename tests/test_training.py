@@ -531,3 +531,47 @@ def test_dropout_key_identity_and_validation():
     assert jax.random.bernoulli(krbg, 0.5, (16,)).shape == (16,)
     with pytest.raises(ValueError):
         _dropout_key(k, "nope")
+
+
+def test_train_ddpm_metrics_jsonl(setup, tmp_path):
+    """Per-epoch machine-readable run log: one JSON line per epoch with
+    loss/lr/global_step/imgs_per_s, appended as the run progresses."""
+    import json as _json
+
+    model, sched, params = setup
+    cfg = TrainConfig(base_lr=1e-3, warmup_steps=5, grad_accum_steps=1)
+    rng = np.random.default_rng(0)
+    data = [rng.normal(size=(4, RES, RES, 3)).astype(np.float32) * 0.3
+            for _ in range(2)]
+    ckpt_dir = str(tmp_path / "ck")
+    _state, summary = train_ddpm(
+        model, sched, data, train_config=cfg, init_params=params,
+        epochs=2, sample_every=10, img_size=RES, ckpt_dir=ckpt_dir,
+        run_name="mj", save_every=10, save_last=False,
+    )
+    path = summary["metrics_jsonl"]
+    assert path == os.path.join(ckpt_dir, "mj_metrics.jsonl")
+    with open(path) as f:
+        recs = [_json.loads(l) for l in f]
+    assert len(recs) == 2
+    assert [r["epoch"] for r in recs] == [0, 1]
+    for r in recs:
+        assert np.isfinite(r["loss"]) and r["lr"] > 0
+        assert r["global_step"] > 0 and r["imgs_per_s"] > 0
+
+    # explicit path override and None-disable
+    custom = str(tmp_path / "run.jsonl")
+    _s, summ2 = train_ddpm(
+        model, sched, data, train_config=cfg, init_params=params,
+        epochs=1, sample_every=10, img_size=RES, ckpt_dir=ckpt_dir,
+        run_name="mj2", save_every=10, save_last=False,
+        metrics_jsonl=custom,
+    )
+    assert os.path.exists(custom) and summ2["metrics_jsonl"] == custom
+    _s, summ3 = train_ddpm(
+        model, sched, data, train_config=cfg, init_params=params,
+        epochs=1, sample_every=10, img_size=RES, ckpt_dir=ckpt_dir,
+        run_name="mj3", save_every=10, save_last=False, metrics_jsonl=None,
+    )
+    assert "metrics_jsonl" not in summ3
+    assert not os.path.exists(os.path.join(ckpt_dir, "mj3_metrics.jsonl"))
