@@ -9,10 +9,12 @@ from .step import make_loss_fn, make_probe_fn, make_train_step, resolve_weight_f
 from .ema import ema_health, ema_init, ema_reinit_from_params, ema_update  # noqa: F401
 from .checkpoint import (  # noqa: F401
     apply_resume_overrides,
+    find_latest_checkpoint,
     load_checkpoint,
     mirror_checkpoint,
     save_checkpoint,
     wait_for_checkpoints,
 )
+from .preemption import PreemptionFlag, catch_preemption  # noqa: F401
 from .loop import train_ddpm, train_one_epoch  # noqa: F401
 from .diagnostics import StepTimer, device_mem_mb, fmt_hms, profiler_trace  # noqa: F401

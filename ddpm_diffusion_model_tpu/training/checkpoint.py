@@ -34,6 +34,7 @@ __all__ = [
     "wait_for_checkpoints",
     "apply_resume_overrides",
     "mirror_checkpoint",
+    "find_latest_checkpoint",
 ]
 
 _checkpointer = None
@@ -298,3 +299,32 @@ def mirror_checkpoint(src_path: str, mirror_dir: str, fixed_name: str = "latest_
     except Exception as e:  # mirror failures must never kill training
         print(f"[MIRROR] copy failed: {e}")
         return None
+
+
+def find_latest_checkpoint(ckpt_dir: str, run_name: str) -> Optional[str]:
+    """Most-recent checkpoint of ``run_name`` under ``ckpt_dir`` by
+    ``global_step`` in each ``meta.json`` (epoch as tiebreak) — the resolver
+    behind ``train_ddpm(resume_path="auto")``.  Considers the periodic
+    ``<run>_eNNN``, the final ``<run>_last``, and the emergency
+    ``<run>_preempt`` saves; returns None when nothing restorable exists."""
+    import glob
+
+    best, best_key = None, (-1, -1)
+    candidates = (
+        glob.glob(os.path.join(ckpt_dir, f"{run_name}_e[0-9]*"))
+        + [os.path.join(ckpt_dir, f"{run_name}_last"),
+           os.path.join(ckpt_dir, f"{run_name}_preempt")]
+    )
+    for path in candidates:
+        meta_path = os.path.join(path, "meta.json")
+        if not os.path.exists(meta_path):
+            continue
+        try:
+            with open(meta_path) as f:
+                meta = json.load(f)
+        except (OSError, json.JSONDecodeError):
+            continue
+        key = (int(meta.get("global_step", -1)), int(meta.get("epoch", -1)))
+        if key > best_key:
+            best, best_key = path, key
+    return best

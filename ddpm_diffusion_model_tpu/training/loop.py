@@ -67,6 +67,7 @@ def train_one_epoch(
     log_mem: bool = False,
     log_grad_norm: bool = False,
     epoch_header_printed: list = None,
+    stop_flag=None,
 ) -> Tuple[TrainState, float, int, int]:
     """One pass over the loader.  Returns (state, avg_loss, n_batches, n_images)."""
     n_batches, n_images = 0, 0
@@ -97,6 +98,8 @@ def train_one_epoch(
     from ..data.loader import device_prefetch
 
     for x_dev, _ in device_prefetch(_host_batches(), size=2, sharding=batch_sharding):
+        if stop_flag:  # preemption: stop at a batch boundary, state intact
+            break
         x_shape0 = x_dev.shape[0]
         if baseline_pending:
             baseline_pending = False
@@ -209,6 +212,7 @@ def train_ddpm(
     mesh=None,
     fsdp: bool = False,
     metrics_jsonl: Optional[str] = "auto",
+    handle_preemption: bool = True,
 ) -> Tuple[TrainState, Dict[str, Any]]:
     """Full training run.  Returns (final_state, summary).
 
@@ -223,7 +227,14 @@ def train_ddpm(
     appended as the run progresses so dashboards can tail it.  ``"auto"``
     (default) writes ``<ckpt_dir>/<run_name>_metrics.jsonl``; a path
     overrides; ``None`` disables.  (The reference only has its stdout
-    table, ``train_one_epoch.py:124-155``.)"""
+    table, ``train_one_epoch.py:124-155``.)
+
+    ``handle_preemption``: catch SIGTERM/SIGINT at batch boundaries, save an
+    emergency ``<run_name>_preempt`` checkpoint, and return early with
+    ``summary["preempted"] = True`` (see ``training/preemption.py``).
+    ``resume_path="auto"`` resolves to the newest restorable checkpoint of
+    this run in ``ckpt_dir`` (periodic / last / preempt), so a relaunch
+    after preemption is just the same command again."""
     cfg = train_config or TrainConfig()
     os.makedirs(ckpt_dir, exist_ok=True)
 
@@ -251,6 +262,12 @@ def train_ddpm(
     train_step = make_train_step(model, sched, tx, cfg)
     probe_fn = make_probe_fn(model, sched) if probe_timesteps else None
     lr_schedule = None
+
+    if resume_path == "auto":
+        from .checkpoint import find_latest_checkpoint
+
+        resume_path = find_latest_checkpoint(ckpt_dir, run_name)
+        print(f"[RESUME] auto -> {resume_path or 'none found (fresh start)'}")
 
     global_step, start_epoch, resumed = 0, 0, False
     if resume_path and os.path.exists(resume_path):
@@ -314,103 +331,149 @@ def train_ddpm(
     if metrics_path is not None:
         summary["metrics_jsonl"] = metrics_path
 
-    for epoch in range(start_epoch, epochs):
-        t0 = time.time()
-        state, avg_loss, n_batches, n_images = train_one_epoch(
-            train_step,
-            state,
-            train_loader,
-            batch_sharding=batch_shd,
-            max_batches=max_batches,
-            log_every=log_every,
-            probe_fn=probe_fn,
-            probe_timesteps=probe_timesteps,
-            log_mem=log_mem,
-            log_grad_norm=log_grad_norm,
-            epoch_header_printed=header_flag,
-        )
-        # train_one_epoch's device_get of the accumulated loss already drained
-        # the step chain (block_until_ready can no-op over remote transports)
-        sec = time.time() - t0
-        total_time += sec
-        ips = n_images / sec if sec > 0 else 0.0
-        global_step = int(jax.device_get(state.step))
-        from .state import make_lr_schedule
+    from .preemption import PreemptionFlag, catch_preemption
 
-        lr_now = float(make_lr_schedule(cfg)(max(global_step - 1, 0)))
-        warm = (
-            0.0
-            if not cfg.warmup_steps
-            else min(1.0, global_step / float(cfg.warmup_steps))
-        )
-        print(
-            f"{epoch:3d} | {global_step:8d} | {avg_loss:10.5f} | {lr_now:9.2e} | "
-            f"{n_batches:8d} | {n_images:8d} | {ips:7.1f} | {fmt_hms(sec):>8} | "
-            f"{int(100 * warm):3d}%"
-        )
-        summary["epochs"].append(
-            dict(epoch=epoch, loss=avg_loss, imgs_per_s=ips, seconds=sec)
-        )
-
-        # sampling hook: EMA-health-gated, fixed seed (main_train_loop.py:183-207)
-        if sample_fn is not None and (epoch % sample_every == 0 or epoch == epochs - 1):
-            out_path = os.path.join(ckpt_dir, f"{run_name}_samples_e{epoch:03d}.png")
-            ok, _, rel = ema_health(state.ema_params, state.params, rel_tol=2.0)
-            use_ema = bool(ok and rel <= 1.0)
-            params_for_sample = state.ema_params if use_ema else state.params
-            samples = sample_fn(
-                model,
-                params_for_sample,
-                sched,
-                n=sample_n,
-                img_size=img_size,
-                save_path=out_path,
-                seed=sample_seed if sample_seed is not None else 0,
+    if isinstance(handle_preemption, PreemptionFlag):
+        # cooperative external flag (e.g. a scheduler thread): no signal
+        # handlers installed, the caller trips it
+        _pctx, stop_flag = None, handle_preemption
+    else:
+        _pctx = catch_preemption() if handle_preemption else None
+        stop_flag = _pctx.__enter__() if _pctx is not None else PreemptionFlag()
+    try:
+        for epoch in range(start_epoch, epochs):
+            t0 = time.time()
+            state, avg_loss, n_batches, n_images = train_one_epoch(
+                train_step,
+                state,
+                train_loader,
+                batch_sharding=batch_shd,
+                max_batches=max_batches,
+                log_every=log_every,
+                probe_fn=probe_fn,
+                probe_timesteps=probe_timesteps,
+                log_mem=log_mem,
+                log_grad_norm=log_grad_norm,
+                epoch_header_printed=header_flag,
+                stop_flag=stop_flag,
             )
-            fid_msg = ""
-            if (
-                fid_reference is not None
-                and isinstance(samples, np.ndarray)
-                and samples.ndim == 4
-            ):
-                # rFID (random-CNN Fréchet distance): the offline stand-in
-                # for the FID north star (utils/fid.py).  Reference images
-                # arrive in training range [-1,1]; samples in [0,1].
-                from ..utils.fid import rfid
+            # tripped during the data pass => this epoch's pass was partial
+            # and must be redone on resume; tripped later (sample/ckpt
+            # hooks) => the epoch completed and resume continues after it
+            epoch_partial = bool(stop_flag)
+            # train_one_epoch's device_get of the accumulated loss already drained
+            # the step chain (block_until_ready can no-op over remote transports)
+            sec = time.time() - t0
+            total_time += sec
+            ips = n_images / sec if sec > 0 else 0.0
+            global_step = int(jax.device_get(state.step))
+            from .state import make_lr_schedule
 
-                ref01 = (np.asarray(fid_reference, np.float32) + 1.0) / 2.0
-                score = rfid(ref01, samples)
-                summary["epochs"][-1]["rfid"] = score
-                fid_msg = f" | rFID={score:.3f}"
-            print(
-                f"└─ [SAMPLE] grid -> {out_path} | EMA_used={use_ema}"
-                f" | rel={rel:.3f}{fid_msg}"
-            )
-
-        if metrics_path is not None:
-            rec = dict(summary["epochs"][-1], global_step=global_step,
-                       lr=lr_now, ts=time.time())
-            with open(metrics_path, "a") as f:
-                f.write(json.dumps(rec) + "\n")
-
-        if save_every and (epoch % save_every == 0 or epoch == epochs - 1):
-            ckpt_path = os.path.join(ckpt_dir, f"{run_name}_e{epoch:03d}")
-            # async save: the device->host copy stages synchronously, disk
-            # serialization + meta + mirror overlap the next epoch's compute
-            t_save = time.time()
-            save_checkpoint(
-                ckpt_path, state, epoch=epoch,
-                extra={"epoch": epoch, "global_step": global_step},
-                configs=configs_for_ckpt,
-                block=False, mirror_dir=mirror_dir,
-                fixed_mirror_name=fixed_mirror_name, log=print,
+            lr_now = float(make_lr_schedule(cfg)(max(global_step - 1, 0)))
+            warm = (
+                0.0
+                if not cfg.warmup_steps
+                else min(1.0, global_step / float(cfg.warmup_steps))
             )
             print(
-                f"└─ [CKPT]   saving (async) -> {ckpt_path}"
-                f" | dispatched in {1e3 * (time.time() - t_save):.0f} ms"
+                f"{epoch:3d} | {global_step:8d} | {avg_loss:10.5f} | {lr_now:9.2e} | "
+                f"{n_batches:8d} | {n_images:8d} | {ips:7.1f} | {fmt_hms(sec):>8} | "
+                f"{int(100 * warm):3d}%"
+            )
+            summary["epochs"].append(
+                dict(epoch=epoch, loss=avg_loss, imgs_per_s=ips, seconds=sec)
             )
 
-    if save_last:
+            # sampling hook: EMA-health-gated, fixed seed (main_train_loop.py:183-207)
+            # (skipped on a partial epoch: preemption grace time goes to the save)
+            if sample_fn is not None and not epoch_partial and (
+                    epoch % sample_every == 0 or epoch == epochs - 1):
+                out_path = os.path.join(ckpt_dir, f"{run_name}_samples_e{epoch:03d}.png")
+                ok, _, rel = ema_health(state.ema_params, state.params, rel_tol=2.0)
+                use_ema = bool(ok and rel <= 1.0)
+                params_for_sample = state.ema_params if use_ema else state.params
+                samples = sample_fn(
+                    model,
+                    params_for_sample,
+                    sched,
+                    n=sample_n,
+                    img_size=img_size,
+                    save_path=out_path,
+                    seed=sample_seed if sample_seed is not None else 0,
+                )
+                fid_msg = ""
+                if (
+                    fid_reference is not None
+                    and isinstance(samples, np.ndarray)
+                    and samples.ndim == 4
+                ):
+                    # rFID (random-CNN Fréchet distance): the offline stand-in
+                    # for the FID north star (utils/fid.py).  Reference images
+                    # arrive in training range [-1,1]; samples in [0,1].
+                    from ..utils.fid import rfid
+
+                    ref01 = (np.asarray(fid_reference, np.float32) + 1.0) / 2.0
+                    score = rfid(ref01, samples)
+                    summary["epochs"][-1]["rfid"] = score
+                    fid_msg = f" | rFID={score:.3f}"
+                print(
+                    f"└─ [SAMPLE] grid -> {out_path} | EMA_used={use_ema}"
+                    f" | rel={rel:.3f}{fid_msg}"
+                )
+
+            if metrics_path is not None:
+                rec = dict(summary["epochs"][-1], global_step=global_step,
+                           lr=lr_now, ts=time.time())
+                if epoch_partial:
+                    rec["partial"] = True  # redone after resume
+                with open(metrics_path, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+
+            # periodic save: never for a partial epoch — its meta would claim
+            # the epoch completed and beat the preempt save at auto-resume
+            if save_every and not epoch_partial and (
+                    epoch % save_every == 0 or epoch == epochs - 1):
+                ckpt_path = os.path.join(ckpt_dir, f"{run_name}_e{epoch:03d}")
+                # async save: the device->host copy stages synchronously, disk
+                # serialization + meta + mirror overlap the next epoch's compute
+                t_save = time.time()
+                save_checkpoint(
+                    ckpt_path, state, epoch=epoch,
+                    extra={"epoch": epoch, "global_step": global_step},
+                    configs=configs_for_ckpt,
+                    block=False, mirror_dir=mirror_dir,
+                    fixed_mirror_name=fixed_mirror_name, log=print,
+                )
+                print(
+                    f"└─ [CKPT]   saving (async) -> {ckpt_path}"
+                    f" | dispatched in {1e3 * (time.time() - t_save):.0f} ms"
+                )
+
+            if stop_flag:
+                # store epoch-1 when the data pass was partial so resume
+                # (incl. "auto") redoes it, epoch when it completed;
+                # global_step is exact either way, so the warmup/LR clock
+                # stays correct
+                save_epoch = epoch - 1 if epoch_partial else epoch
+                ckpt_path = os.path.join(ckpt_dir, f"{run_name}_preempt")
+                save_checkpoint(
+                    ckpt_path, state, epoch=save_epoch,
+                    extra={"epoch": save_epoch, "global_step": global_step},
+                    configs=configs_for_ckpt,
+                )
+                print(
+                    f"└─ [PREEMPT] signal={stop_flag.signum}: saved -> "
+                    f"{ckpt_path}; stopping cleanly"
+                )
+                summary["preempted"] = True
+                break
+    finally:
+        if _pctx is not None:
+            _pctx.__exit__(None, None, None)
+
+    if save_last and not summary.get("preempted"):
+        # after preemption the _preempt save is the restorable truth; a
+        # _last here would claim epoch=epochs-1 and wrongly end auto-resume
         ckpt_path = os.path.join(ckpt_dir, f"{run_name}_last")
         save_checkpoint(
             ckpt_path, state, epoch=epochs - 1,

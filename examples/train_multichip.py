@@ -22,7 +22,7 @@ from ddpm_diffusion_model_tpu.data import ArrayDataset, DataLoader, get_celeba_l
 from ddpm_diffusion_model_tpu.models import UNetDenoiser
 from ddpm_diffusion_model_tpu.ops import make_schedule
 from ddpm_diffusion_model_tpu.parallel import initialize_distributed, make_mesh
-from ddpm_diffusion_model_tpu.sampling import ddim_sample
+from ddpm_diffusion_model_tpu.sampling import sample_grid_sharded
 from ddpm_diffusion_model_tpu.training import train_ddpm
 from ddpm_diffusion_model_tpu.utils.config import get_preset
 
@@ -77,8 +77,12 @@ def main():
         loader.shard_hosts = jax.process_count() > 1
 
     def sample_fn(model_, params_, sched_, *, n, img_size, save_path, seed):
-        ddim_sample(model_, params_, sched_, n=min(n, 16), img_size=img_size,
-                    save_path=save_path, seed=seed, steps=10 if args.tiny else 50)
+        # SPMD sampling: each chip denoises its slice of the grid
+        n = max(n - n % mesh.shape["data"], mesh.shape["data"])
+        return sample_grid_sharded(
+            model_, params_, sched_, mesh, kind="ddim", n=n,
+            img_size=img_size, save_path=save_path, seed=seed,
+            steps=10 if args.tiny else 50)
 
     train_ddpm(
         model, sched, loader,
