@@ -117,6 +117,35 @@ def _make_loader(args, exp):
     raise ValueError(args.data)
 
 
+def _make_eval_loader(args, exp):
+    """Validation loader per data source: the official valid split for
+    celeba, disjoint-seed held-out sets for the procedural sources; None
+    when the source has no meaningful split (zip/hf)."""
+    from .data import ArrayDataset, DataLoader
+
+    if args.data == "celeba":
+        from .data import get_celeba_loaders
+
+        _tr, va, _te = get_celeba_loaders(
+            data_dir=args.data_dir, img_size=exp.img_size,
+            batch_size=exp.batch_size, seed=exp.seed,
+        )
+        return va
+    if args.data == "blobs":
+        from .data import BlobFacesDataset
+
+        ds = BlobFacesDataset(max(64, args.synthetic_size // 8),
+                              img_size=exp.img_size, seed=exp.seed + 777)
+        return DataLoader(ds, exp.batch_size, seed=exp.seed, shuffle=False)
+    if args.data == "synthetic":
+        rng = np.random.default_rng(exp.seed + 777)
+        n = max(32, args.synthetic_size // 8)
+        arr = rng.normal(size=(n, exp.img_size, exp.img_size, 3)).astype(np.float32)
+        arr = np.clip(arr * 0.4, -1, 1)
+        return DataLoader(ArrayDataset(arr), exp.batch_size, shuffle=False)
+    return None
+
+
 def cmd_train(args):
     from .sampling import ddpm_sample
     from .training import train_ddpm
@@ -162,6 +191,13 @@ def cmd_train(args):
         fid_ref = blob_faces_array(128, img_size=exp.img_size,
                                    seed=exp.seed + 999)
 
+    eval_loader = None
+    if getattr(args, "eval_every", 0):
+        eval_loader = _make_eval_loader(args, exp)
+        if eval_loader is None:
+            print(f"[EVAL] no validation split for --data {args.data};"
+                  " skipping eval")
+
     state, summary = train_ddpm(
         model, sched, loader,
         train_config=exp.train,
@@ -178,6 +214,9 @@ def cmd_train(args):
         configs_for_ckpt={"experiment": exp.to_dict()},
         fid_reference=fid_ref,
         mesh=mesh, fsdp=(getattr(args, "mesh", "none") == "fsdp"),
+        eval_loader=eval_loader,
+        eval_every=max(getattr(args, "eval_every", 0), 1),
+        eval_max_batches=getattr(args, "eval_max_batches", None),
     )
     final = summary["epochs"][-1]["loss"] if summary["epochs"] else None
     out = {"final_loss": final}
@@ -295,6 +334,9 @@ def main(argv=None):
     sp.add_argument("--mesh", default="none", choices=["none", "dp", "fsdp"],
                     help="shard the run over all visible devices (DP batch "
                          "sharding; fsdp also shards params/optimizer)")
+    sp.add_argument("--eval-every", type=int, default=0, metavar="N",
+                    help="validation loss (raw+EMA) every N epochs (0=off)")
+    sp.add_argument("--eval-max-batches", type=int)
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("sample-ddpm")

@@ -9,6 +9,7 @@ which is the right behavior for one accelerator.
     python -m ddpm_diffusion_model_tpu.serving --ckpt ck/run_last --port 8000
     GET /healthz                 -> {"status": "ok", ...}
     GET /sample?n=4&steps=50&eta=0.0&seed=7&format=png|npy
+    GET /metrics                 -> request/sample/error counters + p50/p95
 """
 
 from __future__ import annotations
@@ -29,11 +30,43 @@ class SamplerService:
     """Checkpoint-backed sampler with a warm jit cache."""
 
     def __init__(self, model, params, sched, img_size: int, use_ema_params=None):
+        import time
+
         self.model = model
         self.params = use_ema_params if use_ema_params is not None else params
         self.sched = sched
         self.img_size = img_size
         self._lock = threading.Lock()
+        # observability: counters + a bounded window of recent latencies
+        self._t_start = time.time()
+        self._stats = {"requests": 0, "samples": 0, "errors": 0}
+        self._latencies: list = []  # seconds, last _LAT_WINDOW completions
+
+    _LAT_WINDOW = 256
+
+    def record_error(self) -> None:
+        with self._lock:
+            self._stats["errors"] += 1
+
+    def metrics(self) -> dict:
+        """Service counters and latency quantiles over the recent window —
+        the ``/metrics`` endpoint payload."""
+        import time
+
+        with self._lock:
+            lats = list(self._latencies)
+            stats = dict(self._stats)
+        out = {
+            **stats,
+            "uptime_s": round(time.time() - self._t_start, 1),
+            "latency_window": len(lats),
+        }
+        if lats:
+            q = np.quantile(np.asarray(lats), [0.5, 0.95, 1.0])
+            out.update(latency_p50_s=round(float(q[0]), 4),
+                       latency_p95_s=round(float(q[1]), 4),
+                       latency_max_s=round(float(q[2]), 4))
+        return out
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, config_path: Optional[str] = None,
@@ -89,6 +122,9 @@ class SamplerService:
             schedule_kind, steps, self.sched.T,
             alphas_cumprod=np.asarray(self.sched.alphas_cumprod),
         )
+        import time
+
+        t0 = time.perf_counter()
         with self._lock:
             x, _ = _ddim_jit(
                 self.model, self.params, self.sched, jax.random.key(seed),
@@ -96,9 +132,15 @@ class SamplerService:
                  self.model.config.in_channels),
                 tuple(int(t) for t in ts), eta, None,
             )
+        out = np.asarray(to_unit_interval(x[:n]))  # device fetch = completion
+        with self._lock:
+            self._stats["requests"] += 1
+            self._stats["samples"] += int(n)
+            self._latencies.append(time.perf_counter() - t0)
+            del self._latencies[:-self._LAT_WINDOW]
         used = {"n": int(n), "steps": int(steps), "eta": float(eta),
                 "seed": int(seed), "schedule": schedule_kind}
-        return np.asarray(to_unit_interval(x[:n])), used
+        return out, used
 
 
 def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 8000):
@@ -128,6 +170,9 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                     "max_n": service.MAX_N,
                 })
                 return
+            if url.path == "/metrics":
+                self._json(200, service.metrics())
+                return
             if url.path != "/sample":
                 self._json(404, {"error": "unknown path"})
                 return
@@ -146,6 +191,7 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                 x, used = service.sample(n=n, steps=steps, eta=eta, seed=seed,
                                          schedule_kind=kind)
             except Exception as e:  # surface sampler errors as 500s
+                service.record_error()
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
             if fmt == "npy":

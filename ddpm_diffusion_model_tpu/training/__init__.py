@@ -5,7 +5,13 @@ from .state import (  # noqa: F401
     make_lr_schedule,
     make_optimizer,
 )
-from .step import make_loss_fn, make_probe_fn, make_train_step, resolve_weight_fn  # noqa: F401
+from .step import (  # noqa: F401
+    make_eval_step,
+    make_loss_fn,
+    make_probe_fn,
+    make_train_step,
+    resolve_weight_fn,
+)
 from .ema import ema_health, ema_init, ema_reinit_from_params, ema_update  # noqa: F401
 from .checkpoint import (  # noqa: F401
     apply_resume_overrides,
@@ -16,5 +22,5 @@ from .checkpoint import (  # noqa: F401
     wait_for_checkpoints,
 )
 from .preemption import PreemptionFlag, catch_preemption  # noqa: F401
-from .loop import train_ddpm, train_one_epoch  # noqa: F401
+from .loop import evaluate_loss, train_ddpm, train_one_epoch  # noqa: F401
 from .diagnostics import StepTimer, device_mem_mb, fmt_hms, profiler_trace  # noqa: F401

@@ -36,7 +36,7 @@ from .checkpoint import (
 from .diagnostics import StepTimer, device_mem_mb, fmt_hms, rule
 from .ema import ema_health
 from .state import TrainConfig, TrainState, init_train_state, make_optimizer
-from .step import make_probe_fn, make_train_step
+from .step import make_eval_step, make_probe_fn, make_train_step
 
 __all__ = ["train_ddpm", "train_one_epoch"]
 
@@ -169,6 +169,33 @@ def train_one_epoch(
     return state, avg_loss, n_batches, n_images
 
 
+def evaluate_loss(
+    eval_step,
+    params,
+    dataloader: Iterable,
+    *,
+    batch_sharding=None,
+    max_batches: Optional[int] = None,
+    seed: int = 42,
+) -> float:
+    """Mean eval-mode L_simple over a loader.  Per-batch keys are fixed
+    (fold_in of ``seed`` by batch index), so repeated calls — across epochs
+    or between raw and EMA params — see identical (t, noise) draws and
+    differ only through the parameters."""
+    loss_acc, n = None, 0
+    base = jax.random.key(seed)
+    for i, batch in enumerate(dataloader):
+        if max_batches is not None and i >= max_batches:
+            break
+        x = jnp.asarray(_as_batch_array(batch))
+        if batch_sharding is not None:
+            x = jax.device_put(x, batch_sharding)
+        loss = eval_step(params, x, jax.random.fold_in(base, i))
+        loss_acc = loss if loss_acc is None else loss_acc + loss
+        n += 1
+    return float(jax.device_get(loss_acc)) / n if n else float("nan")
+
+
 def train_ddpm(
     model: UNetDenoiser,
     sched: DiffusionSchedule,
@@ -186,6 +213,11 @@ def train_ddpm(
     sample_fn: Optional[Callable] = None,
     sample_seed: Optional[int] = 1234,
     fid_reference: Optional[np.ndarray] = None,
+    # validation hooks (beyond the reference, which builds valid loaders but
+    # never evaluates them — load_data_from_torch.py:43-44)
+    eval_loader: Optional[Iterable] = None,
+    eval_every: int = 1,
+    eval_max_batches: Optional[int] = None,
     # checkpoint hooks
     ckpt_dir: str = "checkpoints",
     run_name: str = "ddpm",
@@ -261,6 +293,7 @@ def train_ddpm(
         batch_shd = batch_sharding(mesh)
     train_step = make_train_step(model, sched, tx, cfg)
     probe_fn = make_probe_fn(model, sched) if probe_timesteps else None
+    eval_fn = make_eval_step(model, sched) if eval_loader is not None else None
     lr_schedule = None
 
     if resume_path == "auto":
@@ -383,6 +416,21 @@ def train_ddpm(
             summary["epochs"].append(
                 dict(epoch=epoch, loss=avg_loss, imgs_per_s=ips, seconds=sec)
             )
+
+            # validation pass: raw and EMA params on identical (t, noise)
+            # draws, so the two (and epochs) compare without MC jitter
+            if (eval_fn is not None and not epoch_partial
+                    and epoch % eval_every == 0):
+                val = evaluate_loss(
+                    eval_fn, state.params, eval_loader,
+                    batch_sharding=batch_shd, max_batches=eval_max_batches)
+                val_ema = evaluate_loss(
+                    eval_fn, state.ema_params, eval_loader,
+                    batch_sharding=batch_shd, max_batches=eval_max_batches)
+                summary["epochs"][-1]["val_loss"] = val
+                summary["epochs"][-1]["val_loss_ema"] = val_ema
+                print(f"└─ [EVAL]   val_loss={val:.5f} |"
+                      f" val_loss_ema={val_ema:.5f}")
 
             # sampling hook: EMA-health-gated, fixed seed (main_train_loop.py:183-207)
             # (skipped on a partial epoch: preemption grace time goes to the save)

@@ -31,7 +31,8 @@ from ..ops.schedules import DiffusionSchedule
 from .ema import ema_update
 from .state import TrainConfig, TrainState, make_lr_schedule
 
-__all__ = ["make_train_step", "make_probe_fn", "make_loss_fn", "resolve_weight_fn"]
+__all__ = ["make_train_step", "make_probe_fn", "make_loss_fn",
+           "make_eval_step", "resolve_weight_fn"]
 
 Metrics = Dict[str, jnp.ndarray]
 
@@ -179,6 +180,30 @@ def make_train_step(
         return new_state, metrics
 
     return train_step
+
+
+def make_eval_step(
+    model: UNetDenoiser, sched: DiffusionSchedule
+) -> Callable[[Any, jnp.ndarray, jax.Array], jnp.ndarray]:
+    """(params, x, key) -> scalar L_simple in eval mode (no dropout, no
+    grads) — the validation pass the reference never runs despite building
+    valid/test loaders (``load_data_from_torch.py:43-44``).  Deterministic
+    in the key: driving it with a fixed per-batch-index key gives the same
+    (t, noise) draws every eval pass, so epoch-over-epoch val losses
+    compare without Monte-Carlo jitter."""
+
+    @jax.jit
+    def eval_step(params, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+        kt, kn = jax.random.split(key)
+        t = sample_timesteps(kt, x.shape[0], sched.T)
+        noise = jax.random.normal(kn, x.shape, dtype=jnp.float32)
+
+        def eps_fn(x_t, tt):
+            return model.apply(params, x_t, tt, deterministic=True)
+
+        return loss_simple(sched, eps_fn, x, t, noise)
+
+    return eval_step
 
 
 def make_probe_fn(

@@ -125,3 +125,21 @@ def test_used_parameter_headers(server):
     code, _t, hbody = _get(server + "/healthz")
     data = json.loads(hbody)
     assert data["step_choices"][0] == 1 and data["max_n"] == 64
+
+
+def test_metrics_endpoint(server):
+    """/metrics exposes counters + latency quantiles, incremented by
+    /sample successes and 500s (tested after the other endpoint tests so
+    the counters are already moving)."""
+    code, _ctype, body = _get(server + "/metrics")
+    assert code == 200
+    before = json.loads(body)
+    assert before["uptime_s"] >= 0
+
+    _get(server + "/sample?n=2&steps=2&seed=9")
+    code, _ctype, body = _get(server + "/metrics")
+    after = json.loads(body)
+    assert after["requests"] == before["requests"] + 1
+    assert after["samples"] == before["samples"] + 2
+    assert after["latency_window"] >= 1
+    assert 0 < after["latency_p50_s"] <= after["latency_p95_s"] <= after["latency_max_s"]

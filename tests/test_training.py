@@ -575,3 +575,40 @@ def test_train_ddpm_metrics_jsonl(setup, tmp_path):
     )
     assert "metrics_jsonl" not in summ3
     assert not os.path.exists(os.path.join(ckpt_dir, "mj3_metrics.jsonl"))
+
+
+def test_evaluate_loss_and_eval_hook(setup, tmp_path):
+    """Validation pass: evaluate_loss is deterministic in its fixed keys
+    (same value on repeat call), and train_ddpm(eval_loader=...) records
+    val_loss / val_loss_ema per epoch in summary and the metrics JSONL."""
+    import json as _json
+
+    from ddpm_diffusion_model_tpu.training import evaluate_loss, make_eval_step
+
+    model, sched, params = setup
+    eval_fn = make_eval_step(model, sched)
+    rng = np.random.default_rng(1)
+    val = [rng.normal(size=(4, RES, RES, 3)).astype(np.float32) * 0.3
+           for _ in range(2)]
+    a = evaluate_loss(eval_fn, params, val)
+    b = evaluate_loss(eval_fn, params, val)
+    assert a == b and np.isfinite(a)
+    # max_batches truncation changes the estimate's support
+    c = evaluate_loss(eval_fn, params, val, max_batches=1)
+    assert np.isfinite(c)
+
+    cfg = TrainConfig(base_lr=1e-3, warmup_steps=5, grad_accum_steps=1)
+    data = [rng.normal(size=(4, RES, RES, 3)).astype(np.float32) * 0.3
+            for _ in range(2)]
+    ckpt_dir = str(tmp_path / "ck")
+    _state, summary = train_ddpm(
+        model, sched, data, train_config=cfg, init_params=params,
+        epochs=2, sample_every=10, img_size=RES, ckpt_dir=ckpt_dir,
+        run_name="ev", save_every=10, save_last=False,
+        eval_loader=val, eval_every=1,
+    )
+    for e in summary["epochs"]:
+        assert np.isfinite(e["val_loss"]) and np.isfinite(e["val_loss_ema"])
+    with open(summary["metrics_jsonl"]) as f:
+        recs = [_json.loads(l) for l in f]
+    assert all("val_loss" in r and "val_loss_ema" in r for r in recs)
