@@ -72,7 +72,25 @@ def _exp_from_args(args):
     return exp
 
 
-def _make_loader(args, exp):
+def _synthetic_array(exp, n, seed):
+    rng = np.random.default_rng(seed)
+    arr = rng.normal(size=(n, exp.img_size, exp.img_size, 3)).astype(np.float32)
+    return np.clip(arr * 0.4, -1, 1)
+
+
+def _eval_set_size(args, exp):
+    """Held-out set size for the procedural sources: ~1/8 of the train set,
+    rounded to whole batches (>= one full batch — a smaller set would yield
+    zero batches under drop_last and a partial batch would mint an extra
+    XLA compile)."""
+    return max(args.synthetic_size // 8 // exp.batch_size, 1) * exp.batch_size
+
+
+def _make_loader(args, exp, with_eval=False):
+    """Train loader for ``--data``, plus (when ``with_eval``) the validation
+    loader: the official valid split for celeba, disjoint-seed held-out sets
+    for the procedural sources, None where the source has no meaningful
+    split (zip/hf).  Returns ``(train, eval_or_None)``."""
     from .data import (
         ArrayDataset,
         DataLoader,
@@ -82,11 +100,14 @@ def _make_loader(args, exp):
     )
 
     if args.data == "synthetic":
-        rng = np.random.default_rng(exp.seed)
-        n = args.synthetic_size
-        arr = rng.normal(size=(n, exp.img_size, exp.img_size, 3)).astype(np.float32)
-        arr = np.clip(arr * 0.4, -1, 1)
-        return DataLoader(ArrayDataset(arr), exp.batch_size, seed=exp.seed)
+        train = DataLoader(
+            ArrayDataset(_synthetic_array(exp, args.synthetic_size, exp.seed)),
+            exp.batch_size, seed=exp.seed)
+        val = DataLoader(
+            ArrayDataset(_synthetic_array(exp, _eval_set_size(args, exp),
+                                          exp.seed + 777)),
+            exp.batch_size, shuffle=False) if with_eval else None
+        return train, val
     if args.data == "blobs":
         # procedural structured faces (data/synthetic.py): learnable offline
         # stand-in for CelebA — real learning dynamics without egress
@@ -94,7 +115,14 @@ def _make_loader(args, exp):
 
         ds = BlobFacesDataset(args.synthetic_size, img_size=exp.img_size,
                               seed=exp.seed)
-        return DataLoader(ds, exp.batch_size, seed=exp.seed, shuffle=True)
+        train = DataLoader(ds, exp.batch_size, seed=exp.seed, shuffle=True)
+        val = None
+        if with_eval:
+            val_ds = BlobFacesDataset(_eval_set_size(args, exp),
+                                      img_size=exp.img_size,
+                                      seed=exp.seed + 777)
+            val = DataLoader(val_ds, exp.batch_size, shuffle=False)
+        return train, val
     if args.data == "zip":
         if not args.zip_path:
             raise SystemExit("error: --data zip requires --zip-path <file.zip>")
@@ -103,47 +131,18 @@ def _make_loader(args, exp):
         return get_celeba_loader_from_zip(
             args.zip_path, img_size=exp.img_size, batch_size=exp.batch_size,
             seed=exp.seed,
-        )
+        ), None
     if args.data == "hf":
         return build_hf_image_loader(
             img_size=exp.img_size, batch_size=exp.batch_size, seed=exp.seed
-        )
+        ), None
     if args.data == "celeba":
-        train, _va, _te = get_celeba_loaders(
+        train, va, _te = get_celeba_loaders(
             data_dir=args.data_dir, img_size=exp.img_size,
             batch_size=exp.batch_size, seed=exp.seed,
         )
-        return train
+        return train, va if with_eval else None
     raise ValueError(args.data)
-
-
-def _make_eval_loader(args, exp):
-    """Validation loader per data source: the official valid split for
-    celeba, disjoint-seed held-out sets for the procedural sources; None
-    when the source has no meaningful split (zip/hf)."""
-    from .data import ArrayDataset, DataLoader
-
-    if args.data == "celeba":
-        from .data import get_celeba_loaders
-
-        _tr, va, _te = get_celeba_loaders(
-            data_dir=args.data_dir, img_size=exp.img_size,
-            batch_size=exp.batch_size, seed=exp.seed,
-        )
-        return va
-    if args.data == "blobs":
-        from .data import BlobFacesDataset
-
-        ds = BlobFacesDataset(max(64, args.synthetic_size // 8),
-                              img_size=exp.img_size, seed=exp.seed + 777)
-        return DataLoader(ds, exp.batch_size, seed=exp.seed, shuffle=False)
-    if args.data == "synthetic":
-        rng = np.random.default_rng(exp.seed + 777)
-        n = max(32, args.synthetic_size // 8)
-        arr = rng.normal(size=(n, exp.img_size, exp.img_size, 3)).astype(np.float32)
-        arr = np.clip(arr * 0.4, -1, 1)
-        return DataLoader(ArrayDataset(arr), exp.batch_size, shuffle=False)
-    return None
 
 
 def cmd_train(args):
@@ -159,7 +158,8 @@ def cmd_train(args):
             "train": {**exp.train.to_dict(), "loss_weighting": args.loss_weighting},
         })
     model, sched = _build(exp)
-    loader = _make_loader(args, exp)
+    loader, eval_loader = _make_loader(
+        args, exp, with_eval=bool(getattr(args, "eval_every", 0)))
 
     mesh = None
     if getattr(args, "mesh", "none") != "none":
@@ -191,12 +191,9 @@ def cmd_train(args):
         fid_ref = blob_faces_array(128, img_size=exp.img_size,
                                    seed=exp.seed + 999)
 
-    eval_loader = None
-    if getattr(args, "eval_every", 0):
-        eval_loader = _make_eval_loader(args, exp)
-        if eval_loader is None:
-            print(f"[EVAL] no validation split for --data {args.data};"
-                  " skipping eval")
+    if getattr(args, "eval_every", 0) and eval_loader is None:
+        print(f"[EVAL] no validation split for --data {args.data};"
+              " skipping eval")
 
     state, summary = train_ddpm(
         model, sched, loader,
@@ -269,6 +266,21 @@ def cmd_sample_ddim(args):
         )
         print(f"[INFER-DDIM] grid -> {args.out} (steps={args.steps},"
               f" sharded x{mesh.devices.size})")
+        return
+    if getattr(args, "refresh_every", 0) > 1:
+        # encoder-cached fast path (sampling/fast.py): decoder-only reuse
+        # steps between encoder refreshes
+        from .sampling import ddim_sample_fast
+
+        ddim_sample_fast(
+            model, state.params, sched, n=args.n, img_size=exp.img_size,
+            ema_params=state.ema_params if args.ema else None,
+            save_path=args.out, seed=args.seed, steps=args.steps,
+            eta=args.eta, schedule_kind=args.schedule,
+            refresh_every=args.refresh_every,
+        )
+        print(f"[INFER-DDIM] grid -> {args.out} (steps={args.steps},"
+              f" encoder-cached 1/{args.refresh_every})")
         return
     ddim_infer_sample(
         model, state.params, sched, n=args.n, img_size=exp.img_size,
@@ -359,6 +371,10 @@ def main(argv=None):
     sp.add_argument("--individual", action="store_true")
     sp.add_argument("--sharded", action="store_true",
                     help="shard the batch over all devices (SPMD sampling)")
+    sp.add_argument("--refresh-every", type=int, default=0, metavar="K",
+                    help="encoder-cached fast DDIM: recompute encoder "
+                         "features every K steps, decoder-only between "
+                         "(0/1 = full model every step)")
     sp.set_defaults(fn=cmd_sample_ddim)
 
     sp = sub.add_parser("strip")

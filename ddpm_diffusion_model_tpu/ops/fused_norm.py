@@ -229,25 +229,41 @@ def _bwd_partial_kernel(x_ref, tb_ref, dy_ref, mu_ref, rstd_ref, g_ref, b_ref,
         jnp.sum(flat_dzx, axis=0, keepdims=True), (8, C))
 
 
-def _bwd_apply_kernel(x_ref, tb_ref, dy_ref, mu_ref, rstd_ref, g_ref, b_ref,
-                      m1_ref, m2_ref, dx_ref, sdu_ref):
-    """dx = (dz*gamma - m1 - xhat*m2) * rstd; emit per-block sum(du) for the
-    time-bias gradient."""
-    C = x_ref.shape[-1]
+def _bwd_du(x_ref, tb_ref, dy_ref, mu_ref, rstd_ref, g_ref, b_ref,
+            m1_ref, m2_ref):
+    """du = (dz*gamma - m1 - xhat*m2) * rstd — shared by both apply kernels."""
     u = x_ref[0].astype(jnp.float32) + _row(tb_ref)
     rstd = _row(rstd_ref)
     xhat = (u - _row(mu_ref)) * rstd
     z = xhat * _row(g_ref) + _row(b_ref)
     sig = jax.nn.sigmoid(z)
     dz = dy_ref[0].astype(jnp.float32) * sig * (1.0 + z * (1.0 - sig))
-    du = (dz * _row(g_ref) - _row(m1_ref) - xhat * _row(m2_ref)) * rstd
+    return (dz * _row(g_ref) - _row(m1_ref) - xhat * _row(m2_ref)) * rstd
+
+
+def _bwd_apply_kernel(x_ref, tb_ref, dy_ref, mu_ref, rstd_ref, g_ref, b_ref,
+                      m1_ref, m2_ref, dx_ref, sdu_ref):
+    """dx plus the per-block sum(du) partial for the time-bias gradient."""
+    C = x_ref.shape[-1]
+    du = _bwd_du(x_ref, tb_ref, dy_ref, mu_ref, rstd_ref, g_ref, b_ref,
+                 m1_ref, m2_ref)
     dx_ref[0] = du.astype(dx_ref.dtype)
     sdu_ref[0, 0] = jnp.broadcast_to(
         jnp.sum(du.reshape(-1, C), axis=0, keepdims=True), (8, C))
 
 
+def _bwd_apply_kernel_nodtb(x_ref, tb_ref, dy_ref, mu_ref, rstd_ref, g_ref,
+                            b_ref, m1_ref, m2_ref, dx_ref):
+    """dx only — the no-time-bias path skips the sum(du) partial write
+    entirely (an extra (B,nH,8,C) HBM store whose reduction would be
+    discarded)."""
+    du = _bwd_du(x_ref, tb_ref, dy_ref, mu_ref, rstd_ref, g_ref, b_ref,
+                 m1_ref, m2_ref)
+    dx_ref[0] = du.astype(dx_ref.dtype)
+
+
 def _backward_tiled(x, gamma, beta, tb, mu_c, rstd_c, num_groups, eps, dy,
-                    interpret=False):
+                    interpret=False, want_dtb=True):
     B, H, W, C = x.shape
     cg = C // num_groups
     hb = _pick_hb(H, W, C, x.dtype.itemsize)
@@ -284,16 +300,29 @@ def _backward_tiled(x, gamma, beta, tb, mu_c, rstd_c, num_groups, eps, dy,
     m1_c = jnp.repeat(m1_g, cg, axis=-1)
     m2_c = jnp.repeat(m2_g, cg, axis=-1)
 
+    apply_in_specs = [x_spec, row_spec, x_spec, row_spec, row_spec, row_spec,
+                      row_spec, row_spec, row_spec]
+    apply_args = (x, tb8, dy, mu8, rstd8, g8, b8, _as_row8(m1_c, B, C),
+                  _as_row8(m2_c, B, C))
+    if not want_dtb:
+        dx = pl.pallas_call(
+            _bwd_apply_kernel_nodtb,
+            grid=(B, nH),
+            in_specs=apply_in_specs,
+            out_specs=x_spec,
+            out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+            interpret=interpret,
+        )(*apply_args)
+        return dx, dgamma, dbeta, None
+
     dx, sdu = pl.pallas_call(
         _bwd_apply_kernel,
         grid=(B, nH),
-        in_specs=[x_spec, row_spec, x_spec, row_spec, row_spec, row_spec,
-                  row_spec, row_spec, row_spec],
+        in_specs=apply_in_specs,
         out_specs=(x_spec, part_spec),
         out_shape=(jax.ShapeDtypeStruct(x.shape, x.dtype), part_shape),
         interpret=interpret,
-    )(x, tb8, dy, mu8, rstd8, g8, b8, _as_row8(m1_c, B, C),
-      _as_row8(m2_c, B, C))
+    )(*apply_args)
 
     dtb = jnp.sum(sdu[:, :, 0, :], axis=1).astype(tb.dtype)  # (B, C)
     return dx, dgamma, dbeta, dtb
@@ -339,8 +368,41 @@ def _gnb_bwd(num_groups, eps, res, dy):
 gn_silu_bias.defvjp(_gnb_fwd, _gnb_bwd)
 
 
-def gn_silu(x, scale, bias, num_groups: int, eps: float = 1e-6):
-    """Fused GroupNorm+SiLU (no time bias); (B,H,W,C) in, same out."""
+def _zero_tb(x):
     B, _, _, C = x.shape
-    zero_tb = jnp.zeros((B, C), jnp.float32)
-    return gn_silu_bias(x, scale, bias, zero_tb, num_groups, eps)
+    return jnp.zeros((B, C), jnp.float32)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def gn_silu(x, scale, bias, num_groups: int, eps: float = 1e-6):
+    """Fused GroupNorm+SiLU (no time bias); (B,H,W,C) in, same out.
+
+    Its own VJP (not a zero-bias call into :func:`gn_silu_bias`): the bias
+    path's backward writes an extra (B,nH,8,C) sum(du) partial + reduction
+    for dtb that would be discarded here — pure HBM waste in a kernel whose
+    point is minimal traffic."""
+    y, _, _ = _forward_tiled(
+        x, scale, bias, _zero_tb(x), num_groups, eps,
+        interpret=_use_interpret(),
+    )
+    return y
+
+
+def _gn_fwd(x, scale, bias, num_groups, eps):
+    y, mu_c, rstd_c = _forward_tiled(
+        x, scale, bias, _zero_tb(x), num_groups, eps,
+        interpret=_use_interpret(),
+    )
+    return y, (x, scale, bias, mu_c, rstd_c)
+
+
+def _gn_bwd(num_groups, eps, res, dy):
+    x, scale, bias, mu_c, rstd_c = res
+    dx, dgamma, dbeta, _ = _backward_tiled(
+        x, scale, bias, _zero_tb(x), mu_c, rstd_c, num_groups, eps, dy,
+        interpret=_use_interpret(), want_dtb=False,
+    )
+    return dx, dgamma, dbeta
+
+
+gn_silu.defvjp(_gn_fwd, _gn_bwd)

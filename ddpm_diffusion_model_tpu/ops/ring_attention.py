@@ -167,10 +167,12 @@ def ring_attention_sharded(q, k, v, mesh: Mesh, axis: str = "data"):
 # trace-time context so model code (AttnBlock) can reach the mesh axis
 # ---------------------------------------------------------------------------
 
-_CP_CONTEXT = []  # stack of (mesh, axis)
+from ..utils.ambient import AmbientMeshStack
+
+_CP_CONTEXT = AmbientMeshStack("context parallelism (ring attention)")
 
 
-class context_parallel_mesh:
+def context_parallel_mesh(mesh: Mesh, axis: str):
     """Context manager declaring the (mesh, axis) ring attention should use.
 
     Model code runs under ``pjit``; ``AttnBlock(attn_impl="ring")`` needs a
@@ -180,22 +182,12 @@ class context_parallel_mesh:
         with context_parallel_mesh(mesh, "cp"):
             loss, grads = train_step(state, batch)   # traces ring attention
     """
-
-    def __init__(self, mesh: Mesh, axis: str):
-        self.pair = (mesh, axis)
-
-    def __enter__(self):
-        _CP_CONTEXT.append(self.pair)
-        return self
-
-    def __exit__(self, *exc):
-        _CP_CONTEXT.pop()
-        return False
+    return _CP_CONTEXT(mesh, axis)
 
 
 def current_cp_mesh():
-    """(mesh, axis) of the innermost :class:`context_parallel_mesh`, or None."""
-    return _CP_CONTEXT[-1] if _CP_CONTEXT else None
+    """(mesh, axis) of the innermost :func:`context_parallel_mesh`, or None."""
+    return _CP_CONTEXT.current()
 
 
 def ring_attention_auto(q, k, v):

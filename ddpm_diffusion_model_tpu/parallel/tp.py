@@ -32,10 +32,12 @@ __all__ = [
     "place_params_tp",
 ]
 
-_TP_CONTEXT = []  # stack of (mesh, axis)
+from ..utils.ambient import AmbientMeshStack
+
+_TP_CONTEXT = AmbientMeshStack("tensor parallelism")
 
 
-class tensor_parallel_mesh:
+def tensor_parallel_mesh(mesh: Mesh, axis: str = "model"):
     """Trace-time declaration of the (mesh, axis) for attention head TP.
 
     Usage::
@@ -43,23 +45,11 @@ class tensor_parallel_mesh:
         with tensor_parallel_mesh(mesh, "model"):
             y = jax.jit(model.apply)(params, x, t)   # heads sharded on "model"
     """
-
-    def __init__(self, mesh: Mesh, axis: str = "model"):
-        if axis not in mesh.axis_names:
-            raise ValueError(f"mesh has no axis {axis!r}: {mesh.axis_names}")
-        self.pair = (mesh, axis)
-
-    def __enter__(self):
-        _TP_CONTEXT.append(self.pair)
-        return self
-
-    def __exit__(self, *exc):
-        _TP_CONTEXT.pop()
-        return False
+    return _TP_CONTEXT(mesh, axis)
 
 
 def current_tp_mesh() -> Optional[Tuple[Mesh, str]]:
-    return _TP_CONTEXT[-1] if _TP_CONTEXT else None
+    return _TP_CONTEXT.current()
 
 
 def shard_heads(x: jax.Array) -> jax.Array:

@@ -54,8 +54,12 @@ def ddim_sample_loop_cached(
             alphas_cumprod=np.asarray(sched.alphas_cumprod),
         )
     ts = np.asarray(timesteps, dtype=np.int32)
-    t_cur = ts[:-1] if len(ts) > 1 else ts
-    t_prev = ts[1 : len(t_cur) + 1]
+    if len(ts) < 2:
+        # degenerate ladder: no t -> t_prev pair to step over; return the
+        # input unchanged (ddim_sample_loop's 0-iteration semantics)
+        return x_init
+    t_cur = ts[:-1]
+    t_prev = ts[1:]
     refresh = np.zeros(len(t_cur), dtype=bool)
     refresh[:: max(1, int(refresh_every))] = True
     refresh[0] = True  # the first step has no cache to reuse

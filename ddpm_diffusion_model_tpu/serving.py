@@ -37,7 +37,10 @@ class SamplerService:
         self.sched = sched
         self.img_size = img_size
         self._lock = threading.Lock()
-        # observability: counters + a bounded window of recent latencies
+        # observability: counters + a bounded window of recent latencies,
+        # under their OWN mutex — the device lock is held for minutes during
+        # a cold compile, and /metrics must keep answering through that
+        self._stats_lock = threading.Lock()
         self._t_start = time.time()
         self._stats = {"requests": 0, "samples": 0, "errors": 0}
         self._latencies: list = []  # seconds, last _LAT_WINDOW completions
@@ -45,7 +48,7 @@ class SamplerService:
     _LAT_WINDOW = 256
 
     def record_error(self) -> None:
-        with self._lock:
+        with self._stats_lock:
             self._stats["errors"] += 1
 
     def metrics(self) -> dict:
@@ -53,7 +56,7 @@ class SamplerService:
         the ``/metrics`` endpoint payload."""
         import time
 
-        with self._lock:
+        with self._stats_lock:
             lats = list(self._latencies)
             stats = dict(self._stats)
         out = {
@@ -133,7 +136,7 @@ class SamplerService:
                 tuple(int(t) for t in ts), eta, None,
             )
         out = np.asarray(to_unit_interval(x[:n]))  # device fetch = completion
-        with self._lock:
+        with self._stats_lock:
             self._stats["requests"] += 1
             self._stats["samples"] += int(n)
             self._latencies.append(time.perf_counter() - t0)

@@ -424,13 +424,18 @@ def train_ddpm(
                 val = evaluate_loss(
                     eval_fn, state.params, eval_loader,
                     batch_sharding=batch_shd, max_batches=eval_max_batches)
-                val_ema = evaluate_loss(
-                    eval_fn, state.ema_params, eval_loader,
-                    batch_sharding=batch_shd, max_batches=eval_max_batches)
-                summary["epochs"][-1]["val_loss"] = val
-                summary["epochs"][-1]["val_loss_ema"] = val_ema
-                print(f"└─ [EVAL]   val_loss={val:.5f} |"
-                      f" val_loss_ema={val_ema:.5f}")
+                if np.isfinite(val):
+                    val_ema = evaluate_loss(
+                        eval_fn, state.ema_params, eval_loader,
+                        batch_sharding=batch_shd, max_batches=eval_max_batches)
+                    summary["epochs"][-1]["val_loss"] = val
+                    summary["epochs"][-1]["val_loss_ema"] = val_ema
+                    print(f"└─ [EVAL]   val_loss={val:.5f} |"
+                          f" val_loss_ema={val_ema:.5f}")
+                else:
+                    # empty loader (or a diverged model): warn, don't record
+                    print("└─ [EVAL]   no finite val loss (empty loader or"
+                          " non-finite model output); skipping")
 
             # sampling hook: EMA-health-gated, fixed seed (main_train_loop.py:183-207)
             # (skipped on a partial epoch: preemption grace time goes to the save)
@@ -474,6 +479,10 @@ def train_ddpm(
                            lr=lr_now, ts=time.time())
                 if epoch_partial:
                     rec["partial"] = True  # redone after resume
+                # strict JSON: json.dumps would emit the non-spec NaN token
+                # for non-finite floats (e.g. a diverged loss) — null them
+                rec = {k: (None if isinstance(v, float) and not np.isfinite(v)
+                           else v) for k, v in rec.items()}
                 with open(metrics_path, "a") as f:
                     f.write(json.dumps(rec) + "\n")
 

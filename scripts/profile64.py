@@ -189,33 +189,42 @@ def main():
     # optimizer tail at the real tree (tree-structured, as in the train step)
     import optax
 
-    grads = jax.tree.map(lambda p: jnp.ones_like(p) * 1e-4, params)
-    opt_state = tx.init(params)
     ema = jax.tree.map(jnp.copy, params)
 
-    def opt_body(c):
+    # the TREE baseline needs an explicitly un-flattened optimizer —
+    # TrainConfig.flat_optimizer now defaults True, so reusing `tx` here
+    # would silently benchmark the raveled path against itself
+    tcfg_tree = TrainConfig(base_lr=2e-4, warmup_steps=1000,
+                            grad_accum_steps=1, ema_decay=0.9997,
+                            flat_optimizer=False)
+    tx_tree = make_optimizer(tcfg_tree)
+    opt_state_tree = tx_tree.init(params)
+
+    def opt_body_tree(c):
         p, s, e = c
-        g = jax.tree.map(lambda q: q * 1e-6 + 1e-4, p)  # dep on p, grad-like
+        g = jax.tree.map(lambda q: q * 1e-6 + 1e-4, p)
         gn = optax.global_norm(g)
-        updates, s = tx.update(g, s, p)
+        updates, s = tx_tree.update(g, s, p)
         p = optax.apply_updates(p, updates)
         e = jax.tree.map(lambda a, q: a * 0.9997 + 0.0003 * q, e, p)
         return (p, s, e)
 
-    ms = graph_repeat_ms(opt_body, (params, opt_state, ema))
+    ms = graph_repeat_ms(opt_body_tree, (params, opt_state_tree, ema))
     report("optimizer tail, tree (clip+AdamW+EMA)", ms, "in-graph amortized")
 
     # same math on ONE flat fp32 vector (what a flattened optimizer would do)
     from jax.flatten_util import ravel_pytree
 
     flat_p, unravel = ravel_pytree(params)
-    flat_opt = tx.init(flat_p)
+    # the plain chain applied to one flat leaf (NOT the flatten-wrapped tx,
+    # which would ravel the already-flat vector again)
+    flat_opt = tx_tree.init(flat_p)
 
     def opt_body_flat(c):
         p, s, e = c
         g = p * 1e-6 + 1e-4
         gn = jnp.sqrt(jnp.vdot(g, g))
-        updates, s = tx.update(g, s, p)
+        updates, s = tx_tree.update(g, s, p)
         p = optax.apply_updates(p, updates)
         e = e * 0.9997 + 0.0003 * p
         return (p, s, e)

@@ -178,3 +178,41 @@ def test_cli_train_mesh_fsdp(tmp_path, capsys):
         "--n", "8", "--out", png, "--sharded",
     ])
     assert os.path.exists(png)
+
+
+def test_cli_sample_ddim_fast(tmp_path, capsys):
+    """`sample-ddim --refresh-every K` routes through the encoder-cached
+    sampler and produces a grid from an existing checkpoint."""
+    from ddpm_diffusion_model_tpu.cli import main
+
+    tiny = ExperimentConfig(
+        model=get_preset("celeba64_low").model.__class__(
+            base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+            attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+            img_resolution=8,
+        ),
+        diffusion=get_preset("celeba64_low").diffusion.__class__(T=20, img_size=8),
+        train=get_preset("celeba64_low").train.__class__(
+            base_lr=1e-3, warmup_steps=2, grad_accum_steps=1
+        ),
+        run_name="clifast", img_size=8, batch_size=4, epochs=1,
+        sample_every=10, save_every=1,
+    )
+    cfg_path = str(tmp_path / "exp.json")
+    with open(cfg_path, "w") as f:
+        f.write(tiny.to_json())
+    ckpt_dir = str(tmp_path / "ck")
+    main([
+        "train", "--config", cfg_path, "--data", "synthetic",
+        "--synthetic-size", "8", "--ckpt-dir", ckpt_dir, "--no-samples",
+    ])
+    capsys.readouterr()
+    png = str(tmp_path / "fast.png")
+    main([
+        "sample-ddim", "--config", cfg_path,
+        "--ckpt", os.path.join(ckpt_dir, "clifast_last"),
+        "--n", "4", "--steps", "6", "--refresh-every", "3", "--out", png,
+    ])
+    out = capsys.readouterr().out
+    assert "encoder-cached 1/3" in out
+    assert os.path.exists(png)
