@@ -241,8 +241,26 @@ def main(argv=None):
         args.ckpt, config_path=args.config, ema=not args.no_ema
     )
     server = make_server(service, args.host, args.port)
-    print(f"[SERVE] sampling service on http://{args.host}:{args.port}")
-    server.serve_forever()
+    # report the BOUND port (port 0 asks the OS for an ephemeral one)
+    print(f"[SERVE] sampling service on http://{args.host}:"
+          f"{server.server_address[1]}", flush=True)
+
+    # graceful drain: SIGTERM/SIGINT stops accepting, lets in-flight
+    # requests finish (shutdown() blocks until the serve loop exits), then
+    # returns — same preemption machinery as training (training/preemption.py)
+    from .training.preemption import catch_preemption
+
+    with catch_preemption() as stop:
+        t = threading.Thread(target=server.serve_forever, daemon=True)
+        t.start()
+        try:
+            while t.is_alive() and not stop:
+                t.join(timeout=0.5)
+        finally:
+            print(f"[SERVE] draining (signal={stop.signum}) ...")
+            server.shutdown()
+            t.join(timeout=30)
+            print(f"[SERVE] stopped | {json.dumps(service.metrics())}")
 
 
 if __name__ == "__main__":

@@ -122,11 +122,13 @@ def test_cli_train_mesh_and_sharded_sampling(tmp_path, capsys):
     ckpt_dir = str(tmp_path / "ck")
     main([
         "train", "--config", cfg_path, "--data", "synthetic",
-        "--synthetic-size", "32", "--ckpt-dir", ckpt_dir, "--mesh", "dp",
+        "--synthetic-size", "64", "--ckpt-dir", ckpt_dir, "--mesh", "dp",
+        "--eval-every", "1",
     ])
     out = capsys.readouterr().out
     assert "[MESH] dp over 8 devices" in out
     assert "[SAMPLE]" in out  # the sharded hook produced the grid
+    assert "val_loss=" in out  # eval pass ran DP-sharded (batch 8 over 8)
     assert os.path.exists(os.path.join(ckpt_dir, "climesh_samples_e000.png"))
     last = os.path.join(ckpt_dir, "climesh_last")
     assert os.path.isdir(last)

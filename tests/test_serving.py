@@ -143,3 +143,63 @@ def test_metrics_endpoint(server):
     assert after["samples"] == before["samples"] + 2
     assert after["latency_window"] >= 1
     assert 0 < after["latency_p50_s"] <= after["latency_p95_s"] <= after["latency_max_s"]
+
+
+def test_serving_main_graceful_drain(tmp_path):
+    """serving.main: SIGTERM drains in-flight work and exits 0 with final
+    metrics (subprocess, ephemeral port, tiny trained checkpoint)."""
+    import os
+    import signal as _signal
+    import subprocess
+    import sys
+    import time
+
+    from ddpm_diffusion_model_tpu.cli import main as cli_main
+    from ddpm_diffusion_model_tpu.utils.config import ExperimentConfig, get_preset
+
+    tiny = ExperimentConfig(
+        model=get_preset("celeba64_low").model.__class__(
+            base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+            attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+            img_resolution=RES,
+        ),
+        diffusion=get_preset("celeba64_low").diffusion.__class__(
+            T=20, img_size=RES),
+        train=get_preset("celeba64_low").train.__class__(
+            base_lr=1e-3, warmup_steps=2, grad_accum_steps=1),
+        run_name="srv", img_size=RES, batch_size=4, epochs=1,
+        sample_every=10, save_every=10,
+    )
+    cfg_path = str(tmp_path / "exp.json")
+    with open(cfg_path, "w") as f:
+        f.write(tiny.to_json())
+    ckpt_dir = str(tmp_path / "ck")
+    cli_main(["train", "--config", cfg_path, "--data", "synthetic",
+              "--synthetic-size", "8", "--ckpt-dir", ckpt_dir,
+              "--no-samples"])
+
+    proc = subprocess.Popen(
+        [sys.executable, "-m", "ddpm_diffusion_model_tpu.serving",
+         "--ckpt", os.path.join(ckpt_dir, "srv_last"),
+         "--config", cfg_path, "--port", "0"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    try:
+        line = ""
+        for _ in range(600):  # backend init can take tens of seconds
+            line = proc.stdout.readline()
+            if "[SERVE] sampling service on" in line:
+                break
+        assert "[SERVE]" in line, f"server never came up: {line!r}"
+        port = int(line.rsplit(":", 1)[1])
+        code, _ct, body = _get(f"http://127.0.0.1:{port}/healthz")
+        assert code == 200
+
+        proc.send_signal(_signal.SIGTERM)
+        out_rest = proc.communicate(timeout=60)[0]
+        assert proc.returncode == 0
+        assert "[SERVE] draining" in out_rest and "[SERVE] stopped" in out_rest
+    finally:
+        if proc.poll() is None:
+            proc.kill()
