@@ -113,9 +113,20 @@ def _make_loader(args, exp, with_eval=False):
         # stand-in for CelebA — real learning dynamics without egress
         from .data import BlobFacesDataset
 
-        ds = BlobFacesDataset(args.synthetic_size, img_size=exp.img_size,
-                              seed=exp.seed)
-        train = DataLoader(ds, exp.batch_size, seed=exp.seed, shuffle=True)
+        if getattr(args, "preload", False):
+            # render the whole corpus to RAM once (~50 MB per 1k 64px
+            # images): per-item python rendering (~400 imgs/s) would
+            # otherwise starve a chip that trains at 1000+ imgs/s
+            from .data import ArrayDataset as _AD, blob_faces_array
+
+            arr = blob_faces_array(args.synthetic_size,
+                                   img_size=exp.img_size, seed=exp.seed)
+            train = DataLoader(_AD(arr), exp.batch_size, seed=exp.seed,
+                               shuffle=True)
+        else:
+            ds = BlobFacesDataset(args.synthetic_size, img_size=exp.img_size,
+                                  seed=exp.seed)
+            train = DataLoader(ds, exp.batch_size, seed=exp.seed, shuffle=True)
         val = None
         if with_eval:
             val_ds = BlobFacesDataset(_eval_set_size(args, exp),
@@ -316,6 +327,12 @@ def cmd_info(args):
 
 
 def main(argv=None):
+    # epoch tables must land in redirected logs as they happen, not at the
+    # 8 KB pipe-buffer flush (production runs tail the logfile)
+    try:
+        sys.stdout.reconfigure(line_buffering=True)
+    except (AttributeError, ValueError):
+        pass  # non-reconfigurable stream (pytest capture, notebooks)
     p = argparse.ArgumentParser(prog="ddpm-tpu")
     sub = p.add_subparsers(dest="cmd", required=True)
 
@@ -334,6 +351,9 @@ def main(argv=None):
     sp.add_argument("--zip-path")
     sp.add_argument("--data-dir", default="data")
     sp.add_argument("--synthetic-size", type=int, default=512)
+    sp.add_argument("--preload", action="store_true",
+                    help="blobs: render the whole corpus to RAM up front "
+                         "(feeds the chip at full training rate)")
     sp.add_argument("--epochs", type=int)
     sp.add_argument("--max-batches", type=int)
     sp.add_argument("--ckpt-dir", default="checkpoints")

@@ -218,3 +218,35 @@ def test_cli_sample_ddim_fast(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "encoder-cached 1/3" in out
     assert os.path.exists(png)
+
+
+def test_cli_train_blobs_preload_rfid(tmp_path, capsys):
+    """`train --data blobs --preload` renders the corpus to RAM, trains,
+    scores per-epoch rFID against the held-out reference, and runs the
+    validation pass."""
+    from ddpm_diffusion_model_tpu.cli import main
+
+    tiny = ExperimentConfig(
+        model=get_preset("celeba64_low").model.__class__(
+            base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+            attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+            img_resolution=8,
+        ),
+        diffusion=get_preset("celeba64_low").diffusion.__class__(T=20, img_size=8),
+        train=get_preset("celeba64_low").train.__class__(
+            base_lr=1e-3, warmup_steps=2, grad_accum_steps=1
+        ),
+        run_name="cliblob", img_size=8, batch_size=4, epochs=1,
+        sample_every=1, sample_n=4, save_every=10,
+    )
+    cfg_path = str(tmp_path / "exp.json")
+    with open(cfg_path, "w") as f:
+        f.write(tiny.to_json())
+    main([
+        "train", "--config", cfg_path, "--data", "blobs", "--preload",
+        "--synthetic-size", "16", "--ckpt-dir", str(tmp_path / "ck"),
+        "--eval-every", "1",
+    ])
+    out = capsys.readouterr().out
+    assert "rFID=" in out
+    assert "val_loss=" in out
