@@ -203,15 +203,11 @@ def test_sinusoidal_embedding_matches_reference(ref):
                                    err_msg=f"dim={dim}")
 
 
-def test_unet_forward_matches_reference_with_matched_weights(ref):
-    """THE topology proof: load one set of weights into BOTH U-Nets (theirs
-    torch NCHW, ours Flax NHWC) and compare eps predictions end to end.
-    Covers in/out convs, ResBlocks (incl. channel-change skip), interleaved
-    encoder attention, bottleneck, decoder concat-ResBlocks, upsample, and
-    the time-embedding MLP."""
+def _tiny_model_pair(ref):
+    """Matching tiny U-Nets: (torch model in eval mode, flax model, flax
+    params template)."""
     import jax
 
-    torch, _ = ref
     from src.model.unet_backbone import UNetDenoiser as RefUNet
 
     from ddpm_diffusion_model_tpu.models import UNetConfig, UNetDenoiser
@@ -225,11 +221,21 @@ def test_unet_forward_matches_reference_with_matched_weights(ref):
                           dtype=jnp.float32)
     params = ours_m.init(jax.random.key(0), jnp.ones((1, 16, 16, 3)),
                          jnp.zeros((1,)))
+    return ref_m, ours_m, params
 
-    # ---- map every torch parameter onto the matching flax leaf ----
+
+def _torch_weights_to_flax(ref_m, params, tensors=None):
+    """Map torch parameters (by name) onto the matching flax leaves,
+    returning a new params['params'] tree.  ``tensors`` optionally overrides
+    the values (dict name -> numpy, e.g. an EMA shadow); shapes/layouts are
+    converted (conv OIHW->HWIO, 1x1 conv->Dense, Linear transpose).  Asserts
+    every flax leaf is written exactly once."""
     import flax
+    import jax
 
-    tree = flax.core.unfreeze(params)["params"]
+    # tree.map rebuilds the dict containers: unfreeze() of a plain dict
+    # returns the SAME object, and this function mutates nodes in place
+    tree = jax.tree.map(lambda x: x, flax.core.unfreeze(params)["params"])
 
     def _inner(rest):
         # drop torch Sequential indices (time_proj.1 -> time_proj)
@@ -275,7 +281,8 @@ def test_unet_forward_matches_reference_with_matched_weights(ref):
         leaf_name = path[-1]
         if leaf_name == "weight":
             leaf_name = "scale" if "scale" in node else "kernel"
-        w = pt.detach().numpy()
+        w = (tensors[name] if tensors is not None
+             else pt.detach().numpy())
         dst = node[leaf_name]
         if w.ndim == 4 and dst.ndim == 4:        # conv OIHW -> HWIO
             w = np.transpose(w, (2, 3, 1, 0))
@@ -284,12 +291,27 @@ def test_unet_forward_matches_reference_with_matched_weights(ref):
         elif w.ndim == 2:                        # Linear (O, I) -> (I, O)
             w = w.T
         assert w.shape == dst.shape, f"{name}: {w.shape} vs {dst.shape}"
-        node[leaf_name] = jnp.asarray(w)
+        # copy=True: torch .numpy() shares storage and jnp.asarray on CPU is
+        # zero-copy — without it, untransposed leaves (biases) would alias
+        # the live torch tensors and mutate under in-place model updates
+        node[leaf_name] = jnp.asarray(np.array(w, copy=True))
         consumed.add("/".join(path[:-1]) + "/" + leaf_name)
 
     n_flax = len(jax.tree.leaves(tree))
     assert len(consumed) == n_flax, (
         f"mapped {len(consumed)} torch params onto {n_flax} flax leaves")
+    return tree
+
+
+def test_unet_forward_matches_reference_with_matched_weights(ref):
+    """THE topology proof: load one set of weights into BOTH U-Nets (theirs
+    torch NCHW, ours Flax NHWC) and compare eps predictions end to end.
+    Covers in/out convs, ResBlocks (incl. channel-change skip), interleaved
+    encoder attention, bottleneck, decoder concat-ResBlocks, upsample, and
+    the time-embedding MLP."""
+    torch, _ = ref
+    ref_m, ours_m, params = _tiny_model_pair(ref)
+    tree = _torch_weights_to_flax(ref_m, params)
 
     # ---- identical inputs, both layouts ----
     x_t, x_j = _pair(torch, 11, (2, 3, 16, 16))
@@ -300,3 +322,49 @@ def test_unet_forward_matches_reference_with_matched_weights(ref):
                         jnp.asarray(tv.astype(np.int32)))
     np.testing.assert_allclose(np.asarray(ours), _to_nhwc(theirs),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_ema_update_matches_reference(ref):
+    """The EMA shadow after perturb+update agrees between the reference's
+    list-of-tensors EMA (ema.py:3-41) and our pytree lerp (training/ema.py),
+    compared through the weight mapping."""
+    import jax
+
+    from ddpm_diffusion_model_tpu.training.ema import ema_update
+
+    torch, _ = ref
+    from src.training_loops.ema import EMA as RefEMA
+
+    ref_m, _ours_m, params = _tiny_model_pair(ref)
+    w0 = _torch_weights_to_flax(ref_m, params)          # shadow init = w0
+
+    decay = 0.9
+    ref_ema = RefEMA(ref_m, decay=decay)
+
+    # perturb the torch params deterministically, then EMA-update
+    rng = np.random.default_rng(42)
+    with torch.no_grad():
+        for _name, p in ref_m.named_parameters():
+            p.add_(torch.from_numpy(
+                rng.normal(size=tuple(p.shape)).astype(np.float32) * 0.1))
+    ref_ema.update(ref_m)
+
+    # same perturbed params on our side (via the mapping), same update
+    w1 = _torch_weights_to_flax(ref_m, params)
+    ours_shadow = ema_update(w0, w1, decay)
+
+    # the reference shadow, mapped into flax layout for comparison
+    shadow_by_name = {
+        name: s.numpy()
+        for (name, _p), s in zip(ref_m.named_parameters(), ref_ema.shadow)
+    }
+    theirs_shadow = _torch_weights_to_flax(ref_m, params,
+                                           tensors=shadow_by_name)
+    for (pa, a), (pb, b) in zip(
+        jax.tree_util.tree_flatten_with_path(ours_shadow)[0],
+        jax.tree_util.tree_flatten_with_path(theirs_shadow)[0],
+    ):
+        assert pa == pb
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-6, atol=1e-7,
+                                   err_msg=jax.tree_util.keystr(pa))
