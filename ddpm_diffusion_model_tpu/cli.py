@@ -225,6 +225,13 @@ def cmd_train(args):
         eval_loader=eval_loader,
         eval_every=max(getattr(args, "eval_every", 0), 1),
         eval_max_batches=getattr(args, "eval_max_batches", None),
+        # resume-time overrides (reference: main_train_loop.py:69-77,97-139)
+        reset_optimizer_state=getattr(args, "reset_optimizer", False),
+        override_lr=getattr(args, "override_lr", None),
+        override_weight_decay=getattr(args, "override_weight_decay", None),
+        override_ema_decay=getattr(args, "override_ema_decay", None),
+        repair_ema_on_resume={"auto": True, "force": "force"}.get(
+            getattr(args, "repair_ema", None), False),
     )
     final = summary["epochs"][-1]["loss"] if summary["epochs"] else None
     out = {"final_loss": final}
@@ -369,6 +376,19 @@ def main(argv=None):
     sp.add_argument("--eval-every", type=int, default=0, metavar="N",
                     help="validation loss (raw+EMA) every N epochs (0=off)")
     sp.add_argument("--eval-max-batches", type=int)
+    # resume-time overrides (reference parity: main_train_loop.py:69-77)
+    sp.add_argument("--reset-optimizer", action="store_true",
+                    help="on resume: fresh optimizer state (warmup clock "
+                         "fast-forwarded)")
+    sp.add_argument("--override-lr", type=float)
+    sp.add_argument("--override-weight-decay", type=float)
+    sp.add_argument("--override-ema-decay", type=float)
+    sp.add_argument("--repair-ema", nargs="?", const="auto",
+                    choices=["auto", "force"],
+                    help="on resume: re-seed the EMA shadow from the model — "
+                         "'auto' (default) only when the health check fails "
+                         "(reference semantics), 'force' unconditionally "
+                         "(recover a healthy-but-lagging shadow)")
     sp.set_defaults(fn=cmd_train)
 
     sp = sub.add_parser("sample-ddpm")

@@ -224,8 +224,11 @@ def _fast_forward_schedule_counts(opt_state, step):
 
     def fix(node):
         if isinstance(node, optax.ScaleByScheduleState):
+            # copy=True: asarray of an int32 step returns the SAME array,
+            # and count aliasing state.step makes the donated train step
+            # donate one buffer twice (XLA INVALID_ARGUMENT)
             return optax.ScaleByScheduleState(
-                count=jnp.asarray(step, jnp.int32)
+                count=jnp.array(step, dtype=jnp.int32, copy=True)
             )
         return node
 
@@ -243,7 +246,7 @@ def apply_resume_overrides(
     reset_optimizer_state: bool = False,
     override_ema_decay: Optional[float] = None,
     repair_ema: bool = False,
-    ema_decay_after_repair: float = 0.9995,
+    ema_decay_after_repair: Optional[float] = None,
     ema_rel_tol: float = 5.0,
     log=print,
 ) -> TrainState:
@@ -266,15 +269,28 @@ def apply_resume_overrides(
         )
         log(f"[RESUME] override_ema_decay -> {override_ema_decay:.6f}")
     if repair_ema:
+        # True/"auto": reference semantics — repair only when the health
+        # check fails.  "force": unconditional re-seed from the model —
+        # the recovery for a healthy-but-LAGGING shadow (e.g. a short run
+        # whose decay time constant exceeds the steps taken), which the
+        # auto gate would keep.
         ok, reason, rel = ema_health(state.ema_params, state.params, rel_tol=ema_rel_tol)
-        if not ok:
+        if repair_ema == "force" or not ok:
+            # post-repair decay precedence: explicit ema_decay_after_repair >
+            # override_ema_decay (an explicit override must survive the
+            # repair, not be clobbered by a default) > 0.9995
+            decay_after = (
+                ema_decay_after_repair if ema_decay_after_repair is not None
+                else (override_ema_decay if override_ema_decay is not None
+                      else 0.9995))
             state = state.replace(
                 ema_params=ema_reinit_from_params(state.params),
-                ema_decay=jnp.asarray(float(ema_decay_after_repair), jnp.float32),
+                ema_decay=jnp.asarray(float(decay_after), jnp.float32),
             )
+            why = "forced" if repair_ema == "force" else f"invalid ({reason}, rel={rel:.3f})"
             log(
-                f"[RESUME][EMA][AUTO] checkpoint EMA invalid ({reason}, rel={rel:.3f})."
-                f" Reinitialized | decay={ema_decay_after_repair:.6f}"
+                f"[RESUME][EMA][AUTO] checkpoint EMA {why}."
+                f" Reinitialized | decay={decay_after:.6f}"
             )
         else:
             log(f"[RESUME][EMA][AUTO] checkpoint EMA healthy (rel={rel:.3f}). Kept.")

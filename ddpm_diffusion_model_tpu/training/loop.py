@@ -237,7 +237,7 @@ def train_ddpm(
     override_weight_decay: Optional[float] = None,
     override_ema_decay: Optional[float] = None,
     repair_ema_on_resume: bool = False,
-    ema_decay_after_repair: float = 0.9995,
+    ema_decay_after_repair: Optional[float] = None,
     resume_components: Optional[Sequence[str]] = None,
     configs_for_ckpt: Optional[Dict[str, Any]] = None,
     # multi-chip (the layer the reference never had, SURVEY.md §2.6)

@@ -250,3 +250,46 @@ def test_cli_train_blobs_preload_rfid(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "rFID=" in out
     assert "val_loss=" in out
+
+
+def test_cli_resume_overrides(tmp_path, capsys):
+    """CLI resume overrides: --repair-ema re-seeds the shadow from the
+    model, --override-lr applies, --reset-optimizer starts warmup clock
+    fast-forwarded (reference main_train_loop.py:69-77 semantics)."""
+    from ddpm_diffusion_model_tpu.cli import main
+
+    tiny = ExperimentConfig(
+        model=get_preset("celeba64_low").model.__class__(
+            base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+            attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+            img_resolution=8,
+        ),
+        diffusion=get_preset("celeba64_low").diffusion.__class__(T=20, img_size=8),
+        train=get_preset("celeba64_low").train.__class__(
+            base_lr=1e-3, warmup_steps=2, grad_accum_steps=1
+        ),
+        run_name="cliovr", img_size=8, batch_size=4, epochs=1,
+        sample_every=10, save_every=1,
+    )
+    cfg_path = str(tmp_path / "exp.json")
+    with open(cfg_path, "w") as f:
+        f.write(tiny.to_json())
+    ckpt_dir = str(tmp_path / "ck")
+    main(["train", "--config", cfg_path, "--data", "synthetic",
+          "--synthetic-size", "8", "--ckpt-dir", ckpt_dir, "--no-samples"])
+    capsys.readouterr()
+    main(["train", "--config", cfg_path, "--data", "synthetic",
+          "--synthetic-size", "8", "--ckpt-dir", ckpt_dir, "--no-samples",
+          "--resume", "auto", "--epochs", "2",
+          "--repair-ema", "force", "--override-lr", "5e-4",
+          "--override-ema-decay", "0.99", "--reset-optimizer"])
+    out = capsys.readouterr().out
+    assert "override_lr -> 5.000e-04" in out
+    assert "optimizer state reset" in out
+    assert "forced" in out and "Reinitialized" in out
+    # auto mode keeps a healthy shadow (reference semantics)
+    main(["train", "--config", cfg_path, "--data", "synthetic",
+          "--synthetic-size", "8", "--ckpt-dir", ckpt_dir, "--no-samples",
+          "--resume", "auto", "--epochs", "3", "--repair-ema"])
+    out = capsys.readouterr().out
+    assert "EMA healthy" in out and "Kept" in out

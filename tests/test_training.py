@@ -612,3 +612,25 @@ def test_evaluate_loss_and_eval_hook(setup, tmp_path):
     with open(summary["metrics_jsonl"]) as f:
         recs = [_json.loads(l) for l in f]
     assert all("val_loss" in r and "val_loss_ema" in r for r in recs)
+
+
+def test_repair_decay_respects_override(setup):
+    """An explicit override_ema_decay must survive a forced EMA repair
+    (the repair's default decay must not clobber it)."""
+    from ddpm_diffusion_model_tpu.training import apply_resume_overrides
+
+    model, sched, params = setup
+    cfg = TrainConfig(base_lr=1e-3, warmup_steps=2)
+    state, _ = init_train_state(params, cfg, tx=make_optimizer(cfg))
+    out = apply_resume_overrides(
+        state, state, repair_ema="force", override_ema_decay=0.98)
+    assert abs(float(jax.device_get(out.ema_decay)) - 0.98) < 1e-6
+    # explicit after-repair value still wins over the override
+    out2 = apply_resume_overrides(
+        state, state, repair_ema="force", override_ema_decay=0.98,
+        ema_decay_after_repair=0.5)
+    assert abs(float(jax.device_get(out2.ema_decay)) - 0.5) < 1e-6
+    # and the forced repair re-seeds the shadow from the params (copy)
+    a = jax.tree.leaves(out.ema_params)[0]
+    b = jax.tree.leaves(state.params)[0]
+    assert np.allclose(np.asarray(a), np.asarray(b))
