@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import io
 import json
+import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -257,11 +258,19 @@ def main(argv=None):
             while t.is_alive() and not stop:
                 t.join(timeout=0.5)
         finally:
+            died = not stop and not t.is_alive()  # crash, not a drain
             print(f"[SERVE] draining (signal={stop.signum}) ...")
-            server.shutdown()
+            server.shutdown()      # stop the accept loop
+            # join the in-flight handler threads too (ThreadingHTTPServer
+            # has block_on_close=True): without this, daemon handlers are
+            # killed at interpreter exit mid-request
+            server.server_close()
             t.join(timeout=30)
             print(f"[SERVE] stopped | {json.dumps(service.metrics())}")
+            if died:
+                print("[SERVE] ERROR: server thread died without a signal")
+    return 1 if died else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())

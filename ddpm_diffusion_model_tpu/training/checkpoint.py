@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 import os
 import threading
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Literal, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -245,7 +245,7 @@ def apply_resume_overrides(
     *,
     reset_optimizer_state: bool = False,
     override_ema_decay: Optional[float] = None,
-    repair_ema: bool = False,
+    repair_ema: Union[bool, Literal["force"]] = False,
     ema_decay_after_repair: Optional[float] = None,
     ema_rel_tol: float = 5.0,
     log=print,
@@ -273,8 +273,13 @@ def apply_resume_overrides(
         # check fails.  "force": unconditional re-seed from the model —
         # the recovery for a healthy-but-LAGGING shadow (e.g. a short run
         # whose decay time constant exceeds the steps taken), which the
-        # auto gate would keep.
-        ok, reason, rel = ema_health(state.ema_params, state.params, rel_tol=ema_rel_tol)
+        # auto gate would keep.  Force skips the whole-tree health check
+        # (per-leaf device reductions) since its result would be discarded.
+        if repair_ema == "force":
+            ok, reason, rel = False, "forced", float("nan")
+        else:
+            ok, reason, rel = ema_health(
+                state.ema_params, state.params, rel_tol=ema_rel_tol)
         if repair_ema == "force" or not ok:
             # post-repair decay precedence: explicit ema_decay_after_repair >
             # override_ema_decay (an explicit override must survive the

@@ -19,7 +19,8 @@ from __future__ import annotations
 import json
 import os
 import time
-from typing import Any, Callable, Dict, Iterable, Optional, Sequence, Tuple
+from typing import (Any, Callable, Dict, Iterable, Literal, Optional,
+                    Sequence, Tuple, Union)
 
 import jax
 import jax.numpy as jnp
@@ -236,7 +237,7 @@ def train_ddpm(
     override_lr: Optional[float] = None,
     override_weight_decay: Optional[float] = None,
     override_ema_decay: Optional[float] = None,
-    repair_ema_on_resume: bool = False,
+    repair_ema_on_resume: Union[bool, Literal["force"]] = False,
     ema_decay_after_repair: Optional[float] = None,
     resume_components: Optional[Sequence[str]] = None,
     configs_for_ckpt: Optional[Dict[str, Any]] = None,
@@ -270,6 +271,24 @@ def train_ddpm(
     cfg = train_config or TrainConfig()
     os.makedirs(ckpt_dir, exist_ok=True)
 
+    # Resolve the resume target FIRST: the overrides below are RESUME-time
+    # semantics (main_train_loop.py:69-77) and must not silently apply to a
+    # fresh run (e.g. --resume auto finding nothing in a wrong ckpt-dir).
+    if resume_path == "auto":
+        from .checkpoint import find_latest_checkpoint
+
+        resume_path = find_latest_checkpoint(ckpt_dir, run_name)
+        print(f"[RESUME] auto -> {resume_path or 'none found (fresh start)'}")
+    will_resume = bool(resume_path and os.path.exists(resume_path))
+    if not will_resume and any(
+        v for v in (override_lr, override_weight_decay, override_ema_decay,
+                    reset_optimizer_state, repair_ema_on_resume)
+    ):
+        print("[RESUME] WARNING: resume-time overrides requested but no "
+              "checkpoint to resume — ignoring them (fresh start)")
+        override_lr = override_weight_decay = override_ema_decay = None
+        reset_optimizer_state, repair_ema_on_resume = False, False
+
     # LR / weight-decay overrides are optimizer-schedule inputs: apply them
     # to the config BEFORE building tx (the state-surgery-free equivalent of
     # main_train_loop.py:117-125).
@@ -296,14 +315,8 @@ def train_ddpm(
     eval_fn = make_eval_step(model, sched) if eval_loader is not None else None
     lr_schedule = None
 
-    if resume_path == "auto":
-        from .checkpoint import find_latest_checkpoint
-
-        resume_path = find_latest_checkpoint(ckpt_dir, run_name)
-        print(f"[RESUME] auto -> {resume_path or 'none found (fresh start)'}")
-
     global_step, start_epoch, resumed = 0, 0, False
-    if resume_path and os.path.exists(resume_path):
+    if will_resume:
         template = state
         state, meta = load_checkpoint(resume_path, template, components=resume_components)
         global_step = int(meta.get("global_step", int(jax.device_get(state.step))))

@@ -634,3 +634,26 @@ def test_repair_decay_respects_override(setup):
     a = jax.tree.leaves(out.ema_params)[0]
     b = jax.tree.leaves(state.params)[0]
     assert np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_resume_overrides_ignored_on_fresh_start(setup, tmp_path, capsys):
+    """Resume-time overrides must not silently apply when --resume auto
+    finds nothing: the run warns, trains at the config LR, and skips the
+    repair/reset."""
+    model, sched, params = setup
+    cfg = TrainConfig(base_lr=1e-3, warmup_steps=2, grad_accum_steps=1)
+    rng = np.random.default_rng(0)
+    data = [rng.normal(size=(4, RES, RES, 3)).astype(np.float32) * 0.3]
+    _state, _summary = train_ddpm(
+        model, sched, data, train_config=cfg, init_params=params,
+        epochs=1, sample_every=10, img_size=RES,
+        ckpt_dir=str(tmp_path / "empty"), run_name="fresh", save_every=10,
+        save_last=False, resume_path="auto",
+        override_lr=5e-4, repair_ema_on_resume="force",
+        reset_optimizer_state=True,
+    )
+    out = capsys.readouterr().out
+    assert "none found (fresh start)" in out
+    assert "WARNING: resume-time overrides requested" in out
+    assert "base_lr: 1.00e-03" in out      # config LR, not the override
+    assert "Reinitialized" not in out      # no repair happened
