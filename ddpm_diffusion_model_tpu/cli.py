@@ -142,6 +142,7 @@ def _make_loader(args, exp, with_eval=False):
         return get_celeba_loader_from_zip(
             args.zip_path, img_size=exp.img_size, batch_size=exp.batch_size,
             seed=exp.seed,
+            crop=None if getattr(args, "no_crop", False) else 178,
         ), None
     if args.data == "hf":
         return build_hf_image_loader(
@@ -356,6 +357,9 @@ def main(argv=None):
     sp.add_argument("--data", default="synthetic",
                     choices=["synthetic", "blobs", "zip", "hf", "celeba"])
     sp.add_argument("--zip-path")
+    sp.add_argument("--no-crop", action="store_true",
+                    help="zip data: skip the 178 CelebA face crop (for "
+                         "pre-cropped square corpora, e.g. CelebA-HQ zips)")
     sp.add_argument("--data-dir", default="data")
     sp.add_argument("--synthetic-size", type=int, default=512)
     sp.add_argument("--preload", action="store_true",

@@ -166,14 +166,21 @@ def get_celeba_loader_from_zip(
     num_workers: int = 8,
     seed: int = 0,
     on_corrupt: str = "next",
+    crop: Optional[int] = 178,
 ) -> DataLoader:
     """Extract-once zip loader with the extra leading Resize(178) and
-    broken-image neighbor fallback (``load_data_local.py``)."""
+    broken-image neighbor fallback (``load_data_local.py``).
+
+    ``crop``: the CelebA-aligned face crop (178, the reference's chain).
+    Pass ``None`` for pre-cropped square corpora (e.g. a CelebA-HQ-256
+    zip): the chain becomes a plain resize to ``img_size``."""
     root = ensure_extracted(zip_path, extract_dir)
-    transform = make_celeba_transform(img_size=img_size, crop=178, initial_resize=178)
+    initial = 178 if crop is not None else None
+    transform = make_celeba_transform(img_size=img_size, crop=crop,
+                                      initial_resize=initial)
     ds = ImageFolderDataset(
         root, transform, on_corrupt=on_corrupt, img_size=img_size,
-        crop=178, initial_resize=178,
+        crop=crop, initial_resize=initial,
     )
     return DataLoader(ds, batch_size, shuffle=True, seed=seed, num_workers=num_workers)
 

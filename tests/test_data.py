@@ -201,3 +201,31 @@ def test_celeba_official_partition_split(tmp_path):
         str(tmp_path), str(root), transform, 16, 2, 0, 0
     )
     assert len(tr2.dataset) + len(va2.dataset) + len(te2.dataset) == 10
+
+
+def test_zip_loader_hq_no_crop(tmp_path):
+    """crop=None zip loading for pre-cropped square corpora (CelebA-HQ
+    zips): the chain is a plain resize — no 178 face crop that would cut
+    into 256px images."""
+    from PIL import Image
+
+    root = tmp_path / "hq"
+    root.mkdir()
+    rng = np.random.default_rng(0)
+    # distinctive corner pixel: a 178-crop of a 256px image would lose it
+    for i in range(4):
+        arr = (rng.random((256, 256, 3)) * 255).astype(np.uint8)
+        arr[:8, :8] = 255
+        Image.fromarray(arr).save(root / f"{i}.png")
+    zp = str(tmp_path / "hq.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        for fn in os.listdir(root):
+            zf.write(os.path.join(root, fn), fn)
+    loader = get_celeba_loader_from_zip(
+        zp, extract_dir=str(tmp_path / "ex"), img_size=128, batch_size=4,
+        num_workers=1, crop=None,
+    )
+    x, _ = next(iter(loader))
+    assert x.shape == (4, 128, 128, 3)
+    # the white corner survives (and maps to +1 after normalize)
+    assert float(x[:, :3, :3].mean()) > 0.95
