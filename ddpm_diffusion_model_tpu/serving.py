@@ -27,6 +27,35 @@ import numpy as np
 __all__ = ["SamplerService", "make_server", "main"]
 
 
+_ETA0_JIT = None  # built lazily: jax must not import at serving module load
+
+
+def _ddim_eta0_from_init(model, params, sched, x_init, ts):
+    """Deterministic DDIM scan from explicit init noise (the coalesced
+    path's kernel): ONE module-level jit, cached per (model, ts, shape)."""
+    global _ETA0_JIT
+    if _ETA0_JIT is None:
+        import functools
+
+        import jax
+
+        @functools.partial(jax.jit, static_argnames=("model", "ts"))
+        def run(model, params, sched, x_init, ts):
+            from .sampling.loops import ddim_sample_loop
+
+            def eps_fn(x, t):
+                return model.apply(params, x, t)
+
+            out, _ = ddim_sample_loop(
+                sched, eps_fn, x_init, jax.random.key(0),
+                timesteps=np.asarray(ts, np.int32), eta=0.0, clip_x0=True,
+            )
+            return out
+
+        _ETA0_JIT = run
+    return _ETA0_JIT(model, params, sched, x_init, ts)
+
+
 class SamplerService:
     """Checkpoint-backed sampler with a warm jit cache."""
 
@@ -43,10 +72,15 @@ class SamplerService:
         # a cold compile, and /metrics must keep answering through that
         self._stats_lock = threading.Lock()
         self._t_start = time.time()
-        self._stats = {"requests": 0, "samples": 0, "errors": 0}
+        self._stats = {"requests": 0, "samples": 0, "errors": 0,
+                       "coalesced_batches": 0}
         self._latencies: list = []  # seconds, last _LAT_WINDOW completions
+        # request coalescing (eta=0): pending queues per (steps, schedule)
+        self._q_lock = threading.Lock()
+        self._queues: dict = {}
 
     _LAT_WINDOW = 256
+    COALESCE_WINDOW_S = 0.005
 
     def record_error(self) -> None:
         with self._stats_lock:
@@ -111,24 +145,46 @@ class SamplerService:
         """Returns ``(images, used)``: (n, H, W, C) float [0,1] plus a dict
         of the parameters ACTUALLY used after bucketing (``n``, ``steps``),
         so callers can see when their request was snapped.  Thread-safe;
-        device work serializes."""
+        device work serializes.
+
+        eta=0 requests (the deterministic default) are COALESCED: concurrent
+        requests with the same (steps, schedule) landing within a short
+        window run as ONE device batch.  Each request's trajectory depends
+        only on its own seed's init noise (eta=0 adds no in-loop noise), so
+        per-seed determinism is independent of what it was batched with."""
+        import time
+
+        n = max(1, min(int(n), self.MAX_N))
+        steps = min(self.STEP_CHOICES, key=lambda s: abs(s - int(steps)))
+        used = {"n": int(n), "steps": int(steps), "eta": float(eta),
+                "seed": int(seed), "schedule": schedule_kind}
+
+        t0 = time.perf_counter()
+        if eta == 0.0:
+            out = self._sample_coalesced(n, steps, schedule_kind, seed)
+        else:
+            out = self._sample_direct(n, steps, eta, schedule_kind, seed)
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["samples"] += int(n)
+            self._latencies.append(time.perf_counter() - t0)
+            del self._latencies[:-self._LAT_WINDOW]
+        return out, used
+
+    def _sample_direct(self, n, steps, eta, schedule_kind, seed):
+        """One un-batched request (the eta>0 path: ancestral noise inside
+        the loop comes from one key, so merging would entangle seeds)."""
         import jax
 
         from .sampling.inference import _ddim_jit
         from .sampling.loops import to_unit_interval
         from .sampling.timesteps import build_ddim_schedule
 
-        n = max(1, min(int(n), self.MAX_N))
         n_bucket = 1 << (n - 1).bit_length()  # next power of two
-        steps = min(self.STEP_CHOICES, key=lambda s: abs(s - int(steps)))
-
         ts = build_ddim_schedule(
             schedule_kind, steps, self.sched.T,
             alphas_cumprod=np.asarray(self.sched.alphas_cumprod),
         )
-        import time
-
-        t0 = time.perf_counter()
         with self._lock:
             x, _ = _ddim_jit(
                 self.model, self.params, self.sched, jax.random.key(seed),
@@ -136,15 +192,86 @@ class SamplerService:
                  self.model.config.in_channels),
                 tuple(int(t) for t in ts), eta, None,
             )
-        out = np.asarray(to_unit_interval(x[:n]))  # device fetch = completion
+        return np.asarray(to_unit_interval(x[:n]))
+
+    def _sample_coalesced(self, n, steps, schedule_kind, seed):
+        """Enqueue; the first thread on an empty queue becomes the leader,
+        waits COALESCE_WINDOW_S for company, and drains the queue in
+        <= MAX_N chunks as single device batches."""
+        import time
+
+        req = {"n": n, "seed": seed, "event": threading.Event(),
+               "out": None, "err": None}
+        key = (steps, schedule_kind)
+        with self._q_lock:
+            q = self._queues.setdefault(key, [])
+            q.append(req)
+            leader = len(q) == 1
+        if leader:
+            time.sleep(self.COALESCE_WINDOW_S)
+            while True:
+                with self._q_lock:
+                    q = self._queues.get(key, [])
+                    batch, total = [], 0
+                    while q and total + q[0]["n"] <= self.MAX_N:
+                        batch.append(q.pop(0))
+                        total += batch[-1]["n"]
+                    if not batch and q:      # one oversize request (can't
+                        batch = [q.pop(0)]   # happen: n <= MAX_N) — safety
+                if not batch:
+                    break
+                try:
+                    outs = self._run_eta0_batch(batch, steps, schedule_kind)
+                    for r, o in zip(batch, outs):
+                        r["out"] = o
+                except Exception as e:  # noqa: BLE001 — deliver to waiters
+                    for r in batch:
+                        r["err"] = e
+                for r in batch:
+                    r["event"].set()
+        if not req["event"].wait(timeout=900):  # cold compiles take minutes
+            raise TimeoutError("coalesced sample timed out")
+        if req["err"] is not None:
+            raise req["err"]
+        return req["out"]
+
+    def _run_eta0_batch(self, batch, steps, schedule_kind):
+        """ONE deterministic DDIM scan over the concatenated per-request
+        init noise; total padded to the next power of two so the compile
+        cache stays bounded."""
+        import jax
+        import jax.numpy as jnp
+
+        from .sampling.loops import to_unit_interval
+        from .sampling.timesteps import build_ddim_schedule
+
+        ts = tuple(int(t) for t in build_ddim_schedule(
+            schedule_kind, steps, self.sched.T,
+            alphas_cumprod=np.asarray(self.sched.alphas_cumprod),
+        ))
+        H, C = self.img_size, self.model.config.in_channels
+        sizes = [r["n"] for r in batch]
+        total = sum(sizes)
+        total_b = 1 << (total - 1).bit_length()
+        inits = [
+            jax.random.normal(jax.random.key(r["seed"]), (r["n"], H, H, C))
+            for r in batch
+        ]
+        if total_b > total:
+            inits.append(jax.random.normal(
+                jax.random.key(0), (total_b - total, H, H, C)))
+        x_init = jnp.concatenate(inits)
+        with self._lock:
+            x = _ddim_eta0_from_init(self.model, self.params, self.sched,
+                                     x_init, ts)
+        x01 = np.asarray(to_unit_interval(x))
         with self._stats_lock:
-            self._stats["requests"] += 1
-            self._stats["samples"] += int(n)
-            self._latencies.append(time.perf_counter() - t0)
-            del self._latencies[:-self._LAT_WINDOW]
-        used = {"n": int(n), "steps": int(steps), "eta": float(eta),
-                "seed": int(seed), "schedule": schedule_kind}
-        return out, used
+            self._stats["coalesced_batches"] += 1
+        outs, off = [], 0
+        for s in sizes:
+            outs.append(x01[off:off + s])
+            off += s
+        return outs
 
 
 def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 8000):

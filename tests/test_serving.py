@@ -203,3 +203,39 @@ def test_serving_main_graceful_drain(tmp_path):
     finally:
         if proc.poll() is None:
             proc.kill()
+
+
+def test_coalescing_preserves_per_seed_results(server):
+    """Concurrent eta=0 requests merge into shared device batches; each
+    request's images match the same request run alone to fp32 ulp level
+    (the trajectory depends only on that seed's init noise — co-batching
+    changes the compiled batch shape, hence last-ulp reassociation, never
+    the math), and repeating the same concurrent mix is bitwise stable."""
+    import concurrent.futures
+
+    def fetch_npy(seed, n=2):
+        _code, _ct, body = _get(
+            server + f"/sample?n={n}&steps=2&seed={seed}&format=npy")
+        return np.load(io.BytesIO(body))
+
+    solo = {s: fetch_npy(s) for s in (21, 22, 23, 24)}
+    before = json.loads(_get(server + "/metrics")[2])
+
+    def burst():
+        with concurrent.futures.ThreadPoolExecutor(max_workers=4) as ex:
+            futs = {s: ex.submit(fetch_npy, s) for s in (21, 22, 23, 24)}
+            return {s: f.result() for s, f in futs.items()}
+
+    merged = burst()
+    for s in (21, 22, 23, 24):
+        np.testing.assert_allclose(merged[s], solo[s], atol=1e-4)
+
+    merged2 = burst()  # same mix again (grouping may differ by timing)
+    for s in (21, 22, 23, 24):
+        np.testing.assert_allclose(merged2[s], merged[s], atol=1e-4)
+
+    after = json.loads(_get(server + "/metrics")[2])
+    assert after["requests"] == before["requests"] + 8  # two bursts of 4
+    # each burst took between 1 (fully merged) and 4 (no overlap) batches
+    grew = after["coalesced_batches"] - before["coalesced_batches"]
+    assert 2 <= grew <= 8
