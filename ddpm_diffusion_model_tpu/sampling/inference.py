@@ -67,6 +67,20 @@ def _ddim_jit(model, params, sched, key, shape, timesteps, eta, capture_steps):
     )
 
 
+@functools.partial(jax.jit, static_argnames=("model", "timesteps"))
+def _ddim_from_init_jit(model, params, sched, x_init, timesteps):
+    """Deterministic (eta=0) DDIM scan from EXPLICIT init noise — the
+    kernel behind the serving coalescer, which concatenates per-request
+    init noise into one batch.  Same loop/clip semantics as ``_ddim_jit``."""
+    eps_fn = lambda xt, t: model.apply(params, xt, t)
+    out, _ = ddim_sample_loop(
+        sched, eps_fn, x_init, jax.random.key(0),
+        timesteps=np.asarray(timesteps, dtype=np.int32),
+        eta=0.0, clip_x0=True,
+    )
+    return out
+
+
 def ddpm_sample(
     model: UNetDenoiser,
     params,

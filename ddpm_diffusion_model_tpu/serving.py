@@ -27,33 +27,6 @@ import numpy as np
 __all__ = ["SamplerService", "make_server", "main"]
 
 
-_ETA0_JIT = None  # built lazily: jax must not import at serving module load
-
-
-def _ddim_eta0_from_init(model, params, sched, x_init, ts):
-    """Deterministic DDIM scan from explicit init noise (the coalesced
-    path's kernel): ONE module-level jit, cached per (model, ts, shape)."""
-    global _ETA0_JIT
-    if _ETA0_JIT is None:
-        import functools
-
-        import jax
-
-        @functools.partial(jax.jit, static_argnames=("model", "ts"))
-        def run(model, params, sched, x_init, ts):
-            from .sampling.loops import ddim_sample_loop
-
-            def eps_fn(x, t):
-                return model.apply(params, x, t)
-
-            out, _ = ddim_sample_loop(
-                sched, eps_fn, x_init, jax.random.key(0),
-                timesteps=np.asarray(ts, np.int32), eta=0.0, clip_x0=True,
-            )
-            return out
-
-        _ETA0_JIT = run
-    return _ETA0_JIT(model, params, sched, x_init, ts)
 
 
 class SamplerService:
@@ -196,8 +169,11 @@ class SamplerService:
 
     def _sample_coalesced(self, n, steps, schedule_kind, seed):
         """Enqueue; the first thread on an empty queue becomes the leader,
-        waits COALESCE_WINDOW_S for company, and drains the queue in
-        <= MAX_N chunks as single device batches."""
+        waits COALESCE_WINDOW_S for company, then takes over the WHOLE queue
+        in one atomic grab and serves it in <= MAX_N chunks.  Requests
+        arriving after the grab see an empty queue and self-elect — the
+        leader never serves traffic that arrived after its takeover, so its
+        own latency is bounded by what was queued at window end."""
         import time
 
         req = {"n": n, "seed": seed, "event": threading.Event(),
@@ -209,17 +185,15 @@ class SamplerService:
             leader = len(q) == 1
         if leader:
             time.sleep(self.COALESCE_WINDOW_S)
-            while True:
-                with self._q_lock:
-                    q = self._queues.get(key, [])
-                    batch, total = [], 0
-                    while q and total + q[0]["n"] <= self.MAX_N:
-                        batch.append(q.pop(0))
-                        total += batch[-1]["n"]
-                    if not batch and q:      # one oversize request (can't
-                        batch = [q.pop(0)]   # happen: n <= MAX_N) — safety
-                if not batch:
-                    break
+            with self._q_lock:
+                taken, q[:] = q[:], []
+            while taken:
+                batch, total = [], 0
+                while taken and total + taken[0]["n"] <= self.MAX_N:
+                    batch.append(taken.pop(0))
+                    total += batch[-1]["n"]
+                if not batch:            # oversize safety (n <= MAX_N holds)
+                    batch = [taken.pop(0)]
                 try:
                     outs = self._run_eta0_batch(batch, steps, schedule_kind)
                     for r, o in zip(batch, outs):
@@ -232,16 +206,26 @@ class SamplerService:
         if not req["event"].wait(timeout=900):  # cold compiles take minutes
             raise TimeoutError("coalesced sample timed out")
         if req["err"] is not None:
-            raise req["err"]
+            # wrap per waiter: re-raising ONE exception object from several
+            # threads races on its __traceback__ mutation
+            raise RuntimeError(
+                f"coalesced sample failed: {req['err']!r}") from req["err"]
         return req["out"]
 
     def _run_eta0_batch(self, batch, steps, schedule_kind):
         """ONE deterministic DDIM scan over the concatenated per-request
         init noise; total padded to the next power of two so the compile
-        cache stays bounded."""
+        cache stays bounded.
+
+        Each request's rows are ``normal(split(key(seed))[0], (n, ...))`` —
+        the SAME seed-to-image mapping as the un-coalesced ``_ddim_jit``
+        path (it splits the key the same way, and threefry draws are
+        prefix-stable across its n_bucket padding), so results are
+        compatible with CLI sampling and with pre-coalescing deployments."""
         import jax
         import jax.numpy as jnp
 
+        from .sampling.inference import _ddim_from_init_jit
         from .sampling.loops import to_unit_interval
         from .sampling.timesteps import build_ddim_schedule
 
@@ -254,17 +238,21 @@ class SamplerService:
         total = sum(sizes)
         total_b = 1 << (total - 1).bit_length()
         inits = [
-            jax.random.normal(jax.random.key(r["seed"]), (r["n"], H, H, C))
+            jax.random.normal(
+                jax.random.split(jax.random.key(r["seed"]))[0],
+                (r["n"], H, H, C), dtype=jnp.float32)
             for r in batch
         ]
         if total_b > total:
             inits.append(jax.random.normal(
-                jax.random.key(0), (total_b - total, H, H, C)))
+                jax.random.key(0), (total_b - total, H, H, C),
+                dtype=jnp.float32))
         x_init = jnp.concatenate(inits)
         with self._lock:
-            x = _ddim_eta0_from_init(self.model, self.params, self.sched,
-                                     x_init, ts)
-        x01 = np.asarray(to_unit_interval(x))
+            x = _ddim_from_init_jit(self.model, self.params, self.sched,
+                                    x_init, ts)
+        # slice the padding off ON DEVICE before the host fetch
+        x01 = np.asarray(to_unit_interval(x[:total]))
         with self._stats_lock:
             self._stats["coalesced_batches"] += 1
         outs, off = [], 0

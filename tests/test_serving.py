@@ -239,3 +239,48 @@ def test_coalescing_preserves_per_seed_results(server):
     # each burst took between 1 (fully merged) and 4 (no overlap) batches
     grew = after["coalesced_batches"] - before["coalesced_batches"]
     assert 2 <= grew <= 8
+
+
+def test_eta_nonzero_direct_path(server):
+    """eta>0 requests take the un-coalesced path (in-loop ancestral noise)
+    and stay deterministic per seed."""
+    def fetch(seed, eta):
+        _c, _t, body = _get(
+            server + f"/sample?n=2&steps=2&seed={seed}&eta={eta}&format=npy")
+        return np.load(io.BytesIO(body))
+
+    a = fetch(5, 1.0)
+    b = fetch(5, 1.0)
+    np.testing.assert_array_equal(a, b)
+    c = fetch(5, 0.0)
+    assert a.shape == c.shape == (2, RES, RES, 3)
+    assert not np.array_equal(a, c)  # different sampler modes differ
+
+
+def test_coalesced_seed_mapping_matches_library_sampler(server):
+    """The serving seed-to-image contract: /sample (eta=0, coalesced) must
+    produce the SAME images as the library's _ddim_jit for the same seed
+    and ladder — the mapping both used before coalescing existed (init key
+    = split(key(seed))[0]; threefry prefix-stability covers padding)."""
+    from ddpm_diffusion_model_tpu.sampling.inference import _ddim_jit
+    from ddpm_diffusion_model_tpu.sampling.loops import to_unit_interval
+    from ddpm_diffusion_model_tpu.sampling.timesteps import build_ddim_schedule
+
+    _c, _t, body = _get(server + "/sample?n=2&steps=2&seed=77&format=npy")
+    served = np.load(io.BytesIO(body))
+
+    # rebuild the fixture's model exactly (same config + init key)
+    cfg = UNetConfig(
+        base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+        attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+        img_resolution=RES,
+    )
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    sched = make_schedule(DiffusionConfig(T=20, img_size=RES))
+    params = model.init(jax.random.key(0), jnp.ones((1, RES, RES, 3)),
+                        jnp.zeros((1,)))
+    ts = tuple(int(t) for t in build_ddim_schedule("t_linear", 2, 20))
+    x, _ = _ddim_jit(model, params, sched, jax.random.key(77),
+                     (2, RES, RES, 3), ts, 0.0, None)
+    lib = np.asarray(to_unit_interval(x))
+    np.testing.assert_allclose(served, lib, atol=1e-5)
