@@ -329,6 +329,60 @@ def cmd_strip(args):
     print(f"[DENOISE] strip -> {args.out}")
 
 
+def cmd_eval(args):
+    """Score a checkpoint without training: eval-mode L_simple on a held-out
+    set for BOTH raw and EMA params (fixed t/noise draws — comparable across
+    checkpoints), plus rFID of an EMA sample grid against the held-out
+    images.  The checkpoint-selection workflow the reference lacks."""
+    from .sampling import ddpm_sample
+    from .training import evaluate_loss, make_eval_step
+    from .utils.fid import rfid
+
+    exp = _exp_from_args(args)
+    model, sched, state, meta = _load_state(args.ckpt, exp)
+    n_eval = max(args.eval_size // exp.batch_size, 1) * exp.batch_size
+    if args.data == "celeba":
+        from .data import get_celeba_loaders
+
+        _tr, eval_loader, _te = get_celeba_loaders(
+            data_dir=args.data_dir, img_size=exp.img_size,
+            batch_size=exp.batch_size, seed=exp.seed)
+    elif args.data == "blobs":
+        from .data import BlobFacesDataset, DataLoader
+
+        eval_loader = DataLoader(
+            BlobFacesDataset(n_eval, img_size=exp.img_size,
+                             seed=exp.seed + 777),
+            exp.batch_size, shuffle=False)
+    else:  # synthetic
+        from .data import ArrayDataset, DataLoader
+
+        eval_loader = DataLoader(
+            ArrayDataset(_synthetic_array(exp, n_eval, exp.seed + 777)),
+            exp.batch_size, shuffle=False)
+
+    eval_fn = make_eval_step(model, sched)
+    out = {
+        "ckpt": args.ckpt,
+        "global_step": meta.get("global_step"),
+        "val_loss": evaluate_loss(eval_fn, state.params, eval_loader),
+        "val_loss_ema": evaluate_loss(eval_fn, state.ema_params, eval_loader),
+    }
+    if args.rfid_n:
+        samples = ddpm_sample(model, state.ema_params, sched, args.rfid_n,
+                              exp.img_size, seed=args.seed,
+                              return_grid=False)
+        ref = np.concatenate(
+            [_as_eval_array(b) for b in eval_loader])[:256]
+        out["rfid_ema"] = rfid((ref + 1.0) / 2.0, samples)
+    print(json.dumps(out))
+
+
+def _as_eval_array(batch):
+    x = batch[0] if isinstance(batch, (tuple, list)) else batch
+    return np.asarray(x, np.float32)
+
+
 def cmd_info(args):
     exp = _exp_from_args(args)
     print(exp.to_json())
@@ -428,6 +482,17 @@ def main(argv=None):
     sp.add_argument("--eta", type=float, default=0.0)
     sp.add_argument("--out", default="denoise_strip.png")
     sp.set_defaults(fn=cmd_strip)
+
+    sp = sub.add_parser("eval")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--data", default="blobs",
+                    choices=["synthetic", "blobs", "celeba"])
+    sp.add_argument("--data-dir", default="data")
+    sp.add_argument("--eval-size", type=int, default=512,
+                    help="held-out set size for the procedural sources")
+    sp.add_argument("--rfid-n", type=int, default=36, metavar="N",
+                    help="EMA sample count for rFID (0 = skip sampling)")
+    sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser("info")
     common(sp)

@@ -293,3 +293,37 @@ def test_cli_resume_overrides(tmp_path, capsys):
           "--resume", "auto", "--epochs", "3", "--repair-ema"])
     out = capsys.readouterr().out
     assert "EMA healthy" in out and "Kept" in out
+
+
+def test_cli_eval_command(tmp_path, capsys):
+    """`ddpm-tpu eval --ckpt ...` scores a checkpoint: val loss (raw+EMA)
+    on a held-out set plus rFID of an EMA grid, as one JSON line."""
+    from ddpm_diffusion_model_tpu.cli import main
+
+    tiny = ExperimentConfig(
+        model=get_preset("celeba64_low").model.__class__(
+            base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+            attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+            img_resolution=8,
+        ),
+        diffusion=get_preset("celeba64_low").diffusion.__class__(T=20, img_size=8),
+        train=get_preset("celeba64_low").train.__class__(
+            base_lr=1e-3, warmup_steps=2, grad_accum_steps=1
+        ),
+        run_name="clieval", img_size=8, batch_size=4, epochs=1,
+        sample_every=10, save_every=10,
+    )
+    cfg_path = str(tmp_path / "exp.json")
+    with open(cfg_path, "w") as f:
+        f.write(tiny.to_json())
+    ckpt_dir = str(tmp_path / "ck")
+    main(["train", "--config", cfg_path, "--data", "blobs",
+          "--synthetic-size", "8", "--ckpt-dir", ckpt_dir, "--no-samples"])
+    capsys.readouterr()
+    main(["eval", "--config", cfg_path,
+          "--ckpt", os.path.join(ckpt_dir, "clieval_last"),
+          "--data", "blobs", "--eval-size", "8", "--rfid-n", "4"])
+    out = capsys.readouterr().out
+    rec = json.loads(out.strip().splitlines()[-1])
+    assert np.isfinite(rec["val_loss"]) and np.isfinite(rec["val_loss_ema"])
+    assert np.isfinite(rec["rfid_ema"]) and rec["global_step"] == 2
