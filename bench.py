@@ -25,21 +25,40 @@ BASELINES = {
 
 
 def bench_sampling(args):
-    """samples/s for DDPM-1000 and DDIM-50 on the attention U-Net (the
-    reference's quality reference points, BASELINE.md row 10)."""
+    """samples/s for DDPM-1000 and DDIM-50 (the reference's quality
+    reference points, BASELINE.md row 10).  ``--config hq256`` measures the
+    256px flagship inference workload (``ddpim_inference.py:19-21`` defaults,
+    the ``inference_256celeba/`` galleries); ``--batch`` overrides the grid
+    size (64px default 36 — the reference's 6x6 grid; 256px default 8)."""
     import jax
     import jax.numpy as jnp
 
-    from ddpm_diffusion_model_tpu.models import UNetDenoiser, unet_64x64_config
+    from ddpm_diffusion_model_tpu.models import (
+        UNetDenoiser,
+        unet_256x256_config,
+        unet_64x64_config,
+        unet_64x64_low_config,
+    )
     from ddpm_diffusion_model_tpu.ops import DiffusionConfig, make_schedule
     from ddpm_diffusion_model_tpu.sampling.inference import _ddim_jit, _ddpm_jit
     from ddpm_diffusion_model_tpu.sampling.timesteps import build_ddim_schedule
 
-    model = UNetDenoiser(unet_64x64_config(), dtype=jnp.bfloat16)
-    sched = make_schedule(DiffusionConfig(T=1000, img_size=64))
-    params = model.init(jax.random.key(0), jnp.ones((1, 64, 64, 3)), jnp.zeros((1,)))
-    n = 36
-    shape = (n, 64, 64, 3)
+    if args.config == "hq256":
+        mcfg, res, n, dyn = unet_256x256_config(), 256, 8, 0.995
+    elif args.config == "low":
+        mcfg, res, n, dyn = unet_64x64_low_config(), 64, 36, None
+    else:
+        mcfg, res, n, dyn = unet_64x64_config(), 64, 36, None
+    if args.batch:
+        n = args.batch
+    tag = f"_{args.config}_b{n}" if args.config != "attn" or args.batch else ""
+    model = UNetDenoiser(mcfg, dtype=jnp.bfloat16)
+    sched = make_schedule(
+        DiffusionConfig(T=1000, img_size=res, dynamic_threshold=dyn))
+    params = model.init(jax.random.key(0), jnp.ones((1, res, res, 3)),
+                        jnp.zeros((1,)))
+    shape = (n, res, res, 3)
+    reps = max(1, args.sample_reps)
     results = {}
 
     if args.sampler in ("ddpm", "both"):
@@ -56,10 +75,10 @@ def bench_sampling(args):
         x, _ = _ddim_jit(model, params, sched, jax.random.key(3), shape, ts, 0.0, None)
         np.asarray(x)  # true sync
         t0 = time.perf_counter()
-        for _ in range(3):
+        for _ in range(reps):
             x, _ = _ddim_jit(model, params, sched, jax.random.key(4), shape, ts, 0.0, None)
             np.asarray(x)
-        results["ddim50_samples_per_s"] = 3 * n / (time.perf_counter() - t0)
+        results["ddim50_samples_per_s"] = reps * n / (time.perf_counter() - t0)
 
     if args.sampler in ("fast", "both"):
         # encoder-cached DDIM-50 (sampling/fast.py), refresh every 2nd step
@@ -70,15 +89,15 @@ def bench_sampling(args):
                              ts, 0.0, 2)
         np.asarray(x)  # true sync
         t0 = time.perf_counter()
-        for _ in range(3):
+        for _ in range(reps):
             x = _ddim_cached_jit(model, params, sched, jax.random.key(6),
                                  shape, ts, 0.0, 2)
             np.asarray(x)
-        results["ddim50_cached_samples_per_s"] = 3 * n / (time.perf_counter() - t0)
+        results["ddim50_cached_samples_per_s"] = reps * n / (time.perf_counter() - t0)
 
     for k, v in results.items():
-        print(json.dumps({"metric": k, "value": round(v, 2), "unit": "samples/s",
-                          "vs_baseline": None}))
+        print(json.dumps({"metric": k + tag, "value": round(v, 3),
+                          "unit": "samples/s", "vs_baseline": None}))
 
 
 def main():
@@ -88,6 +107,8 @@ def main():
     ap.add_argument("--sampler", default="both",
                     choices=["ddpm", "ddim", "fast", "both"])
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--sample-reps", type=int, default=3,
+                    help="timed repetitions per sampler in --mode sample")
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--batch", type=int, help="override batch size")
     ap.add_argument("--accum", type=int, help="override grad-accum steps")

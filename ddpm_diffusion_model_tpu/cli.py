@@ -372,15 +372,41 @@ def cmd_eval(args):
         samples = ddpm_sample(model, state.ema_params, sched, args.rfid_n,
                               exp.img_size, seed=args.seed,
                               return_grid=False)
-        ref = np.concatenate(
-            [_as_eval_array(b) for b in eval_loader])[:256]
+        # stop pulling batches once 256 reference images are in hand — for
+        # --data celeba the full valid split would be ~1 GB of host RAM at
+        # 64px (far more at 256px) just to keep the first 256
+        chunks, have = [], 0
+        for b in eval_loader:
+            chunks.append(_as_eval_array(b))
+            have += chunks[-1].shape[0]
+            if have >= 256:
+                break
+        ref = np.concatenate(chunks)[:256]
         out["rfid_ema"] = rfid((ref + 1.0) / 2.0, samples)
+        if getattr(args, "fid_extractor", None):
+            # true FID via a mounted extractor file (utils/fid.py hook)
+            from .utils.fid import fid
+
+            out["fid_ema"] = fid((ref + 1.0) / 2.0, samples,
+                                 extractor_path=args.fid_extractor)
     print(json.dumps(out))
 
 
 def _as_eval_array(batch):
     x = batch[0] if isinstance(batch, (tuple, list)) else batch
     return np.asarray(x, np.float32)
+
+
+def cmd_import_torch(args):
+    """Migrate a reference (pytorch) checkpoint into this framework — maps
+    model + EMA weights, keeps the step clock, writes a full Orbax
+    TrainState checkpoint + meta sidecar (utils/interop.py)."""
+    from .utils.interop import import_torch_checkpoint
+
+    exp = _exp_from_args(args)
+    path, info = import_torch_checkpoint(
+        args.torch_ckpt, exp, args.out, require_ema=args.require_ema)
+    print(json.dumps({"out": path, **info}))
 
 
 def cmd_info(args):
@@ -492,7 +518,25 @@ def main(argv=None):
                     help="held-out set size for the procedural sources")
     sp.add_argument("--rfid-n", type=int, default=36, metavar="N",
                     help="EMA sample count for rFID (0 = skip sampling)")
+    sp.add_argument("--fid-extractor", metavar="WEIGHTS",
+                    help="mounted feature-extractor file (TorchScript module "
+                         "or inception_v3 state_dict) — scores TRUE FID in "
+                         "addition to rFID (utils/fid.py offline hook)")
     sp.set_defaults(fn=cmd_eval)
+
+    sp = sub.add_parser(
+        "import-torch",
+        help="convert a reference torch checkpoint (chekpoints.py format or "
+             "bare state_dict) into an Orbax checkpoint")
+    common(sp)
+    sp.add_argument("--torch-ckpt", required=True,
+                    help="path to the torch .pt/.pth file")
+    sp.add_argument("--out", required=True,
+                    help="output checkpoint directory")
+    sp.add_argument("--require-ema", action="store_true",
+                    help="fail if the file has no EMA shadow (default: fall "
+                         "back to raw weights)")
+    sp.set_defaults(fn=cmd_import_torch)
 
     sp = sub.add_parser("info")
     common(sp)

@@ -119,6 +119,9 @@ class ResBlock(nn.Module):
     dropout: float = 0.0
     deterministic: bool = True  # attribute (not call arg) so nn.remat wraps cleanly
     fused_gn: bool = False      # Pallas GN+SiLU kernel (see _use_fused_gn)
+    # "packed": uint8-compare masks at 8 random bits/element (ops.dropout —
+    # rate quantized to 1/256); "flax": exact-bernoulli nn.Dropout
+    dropout_impl: str = "packed"
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -152,7 +155,14 @@ class ResBlock(nn.Module):
             h = group_norm(self.out_ch, dtype=self.dtype, name="norm2")(h)
             h = nn.silu(h).astype(self.dtype)
         if self.dropout > 0.0:
-            h = nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
+            if self.dropout_impl == "packed":
+                from ..ops.dropout import PackedDropout
+
+                h = PackedDropout(self.dropout,
+                                  deterministic=self.deterministic)(h)
+            else:
+                h = nn.Dropout(self.dropout,
+                               deterministic=self.deterministic)(h)
         h = nn.Conv(
             self.out_ch, (3, 3), padding="SAME",
             dtype=self.dtype, param_dtype=self.param_dtype, name="conv2",

@@ -97,6 +97,9 @@ class UNetDenoiser(nn.Module):
     #                      memory planning + optional remat for 256px)
     fused_gn: bool = False  # tiled Pallas GN+SiLU+time-bias epilogue
     #                         (ops.fused_norm); opt-in per measurement
+    dropout_impl: str = "packed"  # "packed" (ops.dropout, 8 bits/elem,
+    #                               rate quantized to 1/256) | "flax"
+    #                               (exact-bernoulli nn.Dropout)
 
     @nn.compact
     def __call__(
@@ -128,7 +131,8 @@ class UNetDenoiser(nn.Module):
         Res = nn.remat(ResBlock) if self.remat else ResBlock
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         res_kw = dict(dropout=cfg.dropout, deterministic=deterministic,
-                      fused_gn=self.fused_gn, **kw)
+                      fused_gn=self.fused_gn, dropout_impl=self.dropout_impl,
+                      **kw)
         attn_kw = dict(
             num_heads=cfg.num_heads, head_dim=cfg.head_dim,
             p_drop=cfg.attn_p_drop, deterministic=deterministic,

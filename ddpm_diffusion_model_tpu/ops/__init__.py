@@ -6,6 +6,7 @@ from .schedules import (  # noqa: F401
     extract,
     make_schedule,
 )
+from .dropout import PackedDropout, packed_dropout  # noqa: F401
 from .diffusion import (  # noqa: F401
     ddim_step,
     loss_simple,

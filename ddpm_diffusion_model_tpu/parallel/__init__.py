@@ -5,7 +5,12 @@ from .mesh import (  # noqa: F401
     make_mesh,
     replicated,
 )
-from .sharding import fsdp_leaf_spec, place_state, state_sharding  # noqa: F401
+from .sharding import (  # noqa: F401
+    fsdp_leaf_spec,
+    place_state,
+    put_global,
+    state_sharding,
+)
 from .tp import (  # noqa: F401
     place_params_tp,
     shard_heads,

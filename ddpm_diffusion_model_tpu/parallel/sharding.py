@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..training.state import TrainState
 from .mesh import replicated
 
-__all__ = ["fsdp_leaf_spec", "state_sharding", "place_state"]
+__all__ = ["fsdp_leaf_spec", "state_sharding", "place_state", "put_global"]
 
 
 def fsdp_leaf_spec(leaf: jax.ShapeDtypeStruct, mesh: Mesh, axis: str = "fsdp") -> P:
@@ -60,11 +60,35 @@ def state_sharding(state: TrainState, mesh: Mesh, fsdp: bool = False) -> TrainSt
     )
 
 
+def _put_global(x, s: NamedSharding):
+    """Place one leaf onto ``s`` — including meshes spanning OTHER
+    processes' devices, where ``jax.device_put`` refuses non-addressable
+    targets.  Every process holds the full host value (deterministic init /
+    restored checkpoint), so ``make_array_from_callback`` materializes just
+    the locally-addressable shards and stitches the global array."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, s)
+    import numpy as np
+
+    if jnp.issubdtype(getattr(x, "dtype", None), jax.dtypes.prng_key):
+        data = np.asarray(jax.device_get(jax.random.key_data(x)))
+        placed = jax.make_array_from_callback(
+            data.shape, NamedSharding(s.mesh, P()), lambda idx: data[idx])
+        # eager op over a global array: a replicated program all processes run
+        return jax.random.wrap_key_data(placed, impl=jax.random.key_impl(x))
+    host = np.asarray(jax.device_get(x))
+    return jax.make_array_from_callback(host.shape, s, lambda idx: host[idx])
+
+
+def put_global(tree: Any, mesh: Mesh, spec: P = P()) -> Any:
+    """Place a whole pytree onto ``mesh`` with one PartitionSpec (default:
+    replicated) — multi-process safe."""
+    s = NamedSharding(mesh, spec)
+    return jax.tree.map(lambda x: _put_global(x, s), tree)
+
+
 def place_state(state: TrainState, mesh: Mesh, fsdp: bool = False) -> TrainState:
-    """Device-put the state with DP-replicated (or FSDP-sharded) placement."""
+    """Device-put the state with DP-replicated (or FSDP-sharded) placement
+    (multi-process safe — see :func:`_put_global`)."""
     shardings = state_sharding(state, mesh, fsdp=fsdp)
-    return jax.tree.map(
-        lambda x, s: jax.device_put(x, s),
-        state,
-        shardings,
-    )
+    return jax.tree.map(_put_global, state, shardings)

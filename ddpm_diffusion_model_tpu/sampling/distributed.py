@@ -91,9 +91,11 @@ def sample_grid_sharded(
         raise ValueError(
             f"n={n} must be divisible by the '{axis}' mesh axis ({n_dev})")
 
+    from ..parallel.sharding import put_global
+
     p = ema_params if ema_params is not None else params
-    p = jax.device_put(p, NamedSharding(mesh, P()))  # replicate
-    sched_dev = jax.device_put(sched, NamedSharding(mesh, P()))
+    p = put_global(p, mesh)      # replicate (multi-process safe)
+    sched_dev = put_global(sched, mesh)
 
     ts = None
     if kind == "ddim":
@@ -109,8 +111,16 @@ def sample_grid_sharded(
         model, p, sched_dev, jax.random.key(seed), shape, kind,
         num_steps, ts, float(eta), mesh, axis,
     )
-    x01 = np.asarray(jax.device_get(to_unit_interval(x)))
-    if save_path:
+    x = to_unit_interval(x)
+    if jax.process_count() > 1:
+        # multi-host: each process only holds its shard — allgather so every
+        # host returns the full grid (scripts/multihost_sim.py exercises this)
+        from jax.experimental import multihost_utils
+
+        x01 = np.asarray(multihost_utils.process_allgather(x, tiled=True))
+    else:
+        x01 = np.asarray(jax.device_get(x))
+    if save_path and jax.process_index() == 0:
         from ..utils.images import save_image_grid
 
         save_image_grid(x01, save_path, nrow=int(n**0.5))

@@ -32,13 +32,31 @@ __all__ = ["SamplerService", "make_server", "main"]
 class SamplerService:
     """Checkpoint-backed sampler with a warm jit cache."""
 
-    def __init__(self, model, params, sched, img_size: int, use_ema_params=None):
+    def __init__(self, model, params, sched, img_size: int, use_ema_params=None,
+                 use_mesh: bool = True):
         import time
+
+        import jax
 
         self.model = model
         self.params = use_ema_params if use_ema_params is not None else params
         self.sched = sched
         self.img_size = img_size
+        # mesh-aware serving: with >1 visible device, replicate the params
+        # over a ('data',) mesh once and shard each coalesced eta=0 batch's
+        # init noise over it — the SAME jitted scan becomes SPMD (GSPMD
+        # follows the input sharding), so a pod serves n/devices per chip
+        # with zero per-step communication.  Seed-to-image mapping is
+        # unchanged (each request's rows come from its own seed's init
+        # noise), which is why this routes through _ddim_from_init_jit and
+        # not sample_grid_sharded (that draws grid noise from one seed).
+        self.mesh = None
+        if use_mesh and jax.device_count() > 1:
+            from .parallel import make_mesh, put_global
+
+            self.mesh = make_mesh()
+            self.params = put_global(self.params, self.mesh)
+            self.sched = put_global(self.sched, self.mesh)
         self._lock = threading.Lock()
         # observability: counters + a bounded window of recent latencies,
         # under their OWN mutex — the device lock is held for minutes during
@@ -46,7 +64,7 @@ class SamplerService:
         self._stats_lock = threading.Lock()
         self._t_start = time.time()
         self._stats = {"requests": 0, "samples": 0, "errors": 0,
-                       "coalesced_batches": 0}
+                       "coalesced_batches": 0, "sharded_batches": 0}
         self._latencies: list = []  # seconds, last _LAT_WINDOW completions
         # request coalescing (eta=0): pending queues per (steps, schedule)
         self._q_lock = threading.Lock()
@@ -67,10 +85,16 @@ class SamplerService:
         with self._stats_lock:
             lats = list(self._latencies)
             stats = dict(self._stats)
+        import jax
+
         out = {
             **stats,
             "uptime_s": round(time.time() - self._t_start, 1),
             "latency_window": len(lats),
+            # per-chip utilization view: with a mesh, each coalesced batch
+            # runs samples/devices rows per chip
+            "devices": jax.device_count(),
+            "mesh": list(self.mesh.shape.values()) if self.mesh else None,
         }
         if lats:
             q = np.quantile(np.asarray(lats), [0.5, 0.95, 1.0])
@@ -81,7 +105,7 @@ class SamplerService:
 
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, config_path: Optional[str] = None,
-                        ema: bool = True):
+                        ema: bool = True, use_mesh: bool = True):
         import os
 
         from .cli import _load_state
@@ -103,6 +127,7 @@ class SamplerService:
         return cls(
             model, state.params, sched, exp.img_size,
             use_ema_params=state.ema_params if ema else None,
+            use_mesh=use_mesh,
         )
 
     # shape/ladder are static jit arguments: every distinct (n, steps) pair
@@ -237,6 +262,11 @@ class SamplerService:
         sizes = [r["n"] for r in batch]
         total = sum(sizes)
         total_b = 1 << (total - 1).bit_length()
+        if self.mesh is not None:
+            # every chip needs equal rows: pad to a multiple of the mesh
+            # (still bounded buckets: pow2s and mesh multiples up to 2*MAX_N)
+            n_dev = int(self.mesh.devices.size)
+            total_b = max(total_b, ((total_b + n_dev - 1) // n_dev) * n_dev)
         inits = [
             jax.random.normal(
                 jax.random.split(jax.random.key(r["seed"]))[0],
@@ -248,6 +278,10 @@ class SamplerService:
                 jax.random.key(0), (total_b - total, H, H, C),
                 dtype=jnp.float32))
         x_init = jnp.concatenate(inits)
+        if self.mesh is not None:
+            from .parallel import batch_sharding
+
+            x_init = jax.device_put(x_init, batch_sharding(self.mesh))
         with self._lock:
             x = _ddim_from_init_jit(self.model, self.params, self.sched,
                                     x_init, ts)
@@ -255,6 +289,8 @@ class SamplerService:
         x01 = np.asarray(to_unit_interval(x[:total]))
         with self._stats_lock:
             self._stats["coalesced_batches"] += 1
+            if self.mesh is not None:
+                self._stats["sharded_batches"] += 1
         outs, off = [], 0
         for s in sizes:
             outs.append(x01[off:off + s])
@@ -351,10 +387,13 @@ def main(argv=None):
     ap.add_argument("--host", default="127.0.0.1")
     ap.add_argument("--port", type=int, default=8000)
     ap.add_argument("--no-ema", action="store_true")
+    ap.add_argument("--no-mesh", action="store_true",
+                    help="serve single-device even when more are visible")
     args = ap.parse_args(argv)
 
     service = SamplerService.from_checkpoint(
-        args.ckpt, config_path=args.config, ema=not args.no_ema
+        args.ckpt, config_path=args.config, ema=not args.no_ema,
+        use_mesh=not args.no_mesh,
     )
     server = make_server(service, args.host, args.port)
     # report the BOUND port (port 0 asks the OS for an ephemeral one)

@@ -70,14 +70,26 @@ def _finalize_save(path: str, meta: Dict[str, Any],
                    mirror_dir: Optional[str], fixed_mirror_name: str,
                    log=None) -> None:
     """Wait for the async array write + atomic rename, then land the meta
-    sidecar inside the durable directory (and mirror, if asked)."""
+    sidecar inside the durable directory (and mirror, if asked).
+
+    Multi-process runs: every process waits (orbax's own finalize barrier),
+    but only process 0 writes the meta sidecar / mirror — the checkpoint
+    directory is on a shared filesystem and concurrent identical writes
+    would race."""
     _get_checkpointer().wait_until_finished()
-    with open(os.path.join(path, "meta.json"), "w") as f:
-        json.dump(meta, f, indent=2)
-    if mirror_dir:
-        dst = mirror_checkpoint(path, mirror_dir, fixed_mirror_name)
-        if dst and log:
-            log(f"└─ [MIRROR] copied -> {dst}")
+    if jax.process_index() == 0:
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f, indent=2)
+        if mirror_dir:
+            dst = mirror_checkpoint(path, mirror_dir, fixed_mirror_name)
+            if dst and log:
+                log(f"└─ [MIRROR] copied -> {dst}")
+    if jax.process_count() > 1:
+        # non-primary processes must not observe the directory before the
+        # meta sidecar lands (load_checkpoint reads it unconditionally)
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_meta:{path}")
 
 
 def save_checkpoint(

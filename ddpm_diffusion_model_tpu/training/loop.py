@@ -55,6 +55,28 @@ def _as_batch_array(batch) -> np.ndarray:
     return x
 
 
+def _saved_train_config(ckpt_path: str) -> Optional[TrainConfig]:
+    """Best-effort read of the TrainConfig a checkpoint was written with
+    (from its ``meta.json`` sidecar), legacy-defaulted so pre-knob metas
+    resolve to the structures those runs actually used."""
+    meta_path = os.path.join(ckpt_path, "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    try:
+        with open(meta_path) as f:
+            meta = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return None
+    configs = meta.get("configs") or {}
+    tc = (configs.get("experiment") or {}).get("train") or configs.get("train")
+    if not isinstance(tc, dict):
+        return None
+    try:
+        return TrainConfig.from_dict(tc, legacy=True)
+    except TypeError:
+        return None
+
+
 def train_one_epoch(
     train_step,
     state: TrainState,
@@ -262,6 +284,11 @@ def train_ddpm(
     overrides; ``None`` disables.  (The reference only has its stdout
     table, ``train_one_epoch.py:124-155``.)
 
+    ``eval_loader`` must be RE-ITERABLE (a loader/dataset object, not a
+    one-shot generator): each eval epoch iterates it twice — raw params,
+    then EMA params on identical (t, noise) draws.  A one-shot iterator is
+    detected (the second pass yields nothing) and warned about.
+
     ``handle_preemption``: catch SIGTERM/SIGINT at batch boundaries, save an
     emergency ``<run_name>_preempt`` checkpoint, and return early with
     ``summary["preempted"] = True`` (see ``training/preemption.py``).
@@ -280,9 +307,12 @@ def train_ddpm(
         resume_path = find_latest_checkpoint(ckpt_dir, run_name)
         print(f"[RESUME] auto -> {resume_path or 'none found (fresh start)'}")
     will_resume = bool(resume_path and os.path.exists(resume_path))
-    if not will_resume and any(
-        v for v in (override_lr, override_weight_decay, override_ema_decay,
-                    reset_optimizer_state, repair_ema_on_resume)
+    # explicit None tests: an explicitly passed falsy override (e.g.
+    # --override-lr 0.0) must hit the fresh-start warning too
+    if not will_resume and (
+        any(v is not None for v in (override_lr, override_weight_decay,
+                                    override_ema_decay))
+        or reset_optimizer_state or repair_ema_on_resume
     ):
         print("[RESUME] WARNING: resume-time overrides requested but no "
               "checkpoint to resume — ignoring them (fresh start)")
@@ -296,6 +326,21 @@ def train_ddpm(
         cfg = TrainConfig(**{**cfg.to_dict(), "base_lr": float(override_lr)})
     if override_weight_decay is not None:
         cfg = TrainConfig(**{**cfg.to_dict(), "weight_decay": float(override_weight_decay)})
+
+    if will_resume:
+        # A checkpoint's opt_state layout is fixed by the config that wrote
+        # it (flat_optimizer: raveled vector vs per-leaf tree); restoring
+        # into a template built the other way is an Orbax structure
+        # mismatch.  Reconcile from the meta sidecar — legacy metas predate
+        # the knob and mean the tree layout — so ``train --resume`` works on
+        # pre-flip checkpoints (the cli default moved to flat in round 2).
+        saved_tc = _saved_train_config(resume_path)
+        if (saved_tc is not None
+                and saved_tc.flat_optimizer != cfg.flat_optimizer):
+            print("[RESUME] adopting checkpoint optimizer layout:"
+                  f" flat_optimizer={saved_tc.flat_optimizer}")
+            cfg = TrainConfig(**{**cfg.to_dict(),
+                                 "flat_optimizer": saved_tc.flat_optimizer})
 
     if init_params is None:
         dummy_x = jnp.zeros((1, img_size, img_size, model.config.in_channels))
@@ -313,7 +358,6 @@ def train_ddpm(
     train_step = make_train_step(model, sched, tx, cfg)
     probe_fn = make_probe_fn(model, sched) if probe_timesteps else None
     eval_fn = make_eval_step(model, sched) if eval_loader is not None else None
-    lr_schedule = None
 
     global_step, start_epoch, resumed = 0, 0, False
     if will_resume:
@@ -442,9 +486,17 @@ def train_ddpm(
                         eval_fn, state.ema_params, eval_loader,
                         batch_sharding=batch_shd, max_batches=eval_max_batches)
                     summary["epochs"][-1]["val_loss"] = val
-                    summary["epochs"][-1]["val_loss_ema"] = val_ema
-                    print(f"└─ [EVAL]   val_loss={val:.5f} |"
-                          f" val_loss_ema={val_ema:.5f}")
+                    if np.isfinite(val_ema):
+                        summary["epochs"][-1]["val_loss_ema"] = val_ema
+                        print(f"└─ [EVAL]   val_loss={val:.5f} |"
+                              f" val_loss_ema={val_ema:.5f}")
+                    else:
+                        # the second pass saw zero batches: eval_loader is a
+                        # one-shot iterator, not a re-iterable (the documented
+                        # contract).  Record the raw loss, warn once.
+                        print(f"└─ [EVAL]   val_loss={val:.5f} | WARNING:"
+                              " EMA pass saw no batches — eval_loader must"
+                              " be re-iterable (got a one-shot iterator?)")
                 else:
                     # empty loader (or a diverged model): warn, don't record
                     print("└─ [EVAL]   no finite val loss (empty loader or"

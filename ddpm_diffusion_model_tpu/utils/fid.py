@@ -22,7 +22,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["feature_extractor_params", "extract_features", "frechet_distance", "rfid"]
+__all__ = ["feature_extractor_params", "extract_features", "frechet_distance",
+           "rfid", "fid", "load_torch_extractor"]
 
 _FEAT_SEED = 1234  # fixed: rFID must be comparable across runs
 _WIDTHS = (32, 64, 128, 128)
@@ -119,3 +120,78 @@ def rfid(real01: np.ndarray, gen01: np.ndarray) -> float:
     f_real = extract_features(real01)
     f_gen = extract_features(gen01)
     return frechet_distance(*_stats(f_real), *_stats(f_gen))
+
+
+# ------------------------------------------------------------- true FID hook
+#
+# The FID north star (BASELINE.md) needs Inception weights, which zero
+# egress blocks.  This is the OFFLINE-READY path: mount a feature-extractor
+# file and true FID runs with the same Fréchet machinery, no code change.
+#
+# Accepted extractor files (``load_torch_extractor``):
+#  1. a TorchScript module (``torch.jit.save``) taking (N, 3, H, W) float32
+#     in [0, 1] and returning (N, D) features — export the pytorch-fid
+#     InceptionV3 (pool3, 2048-d) this way for literature-comparable FID,
+#     or any other extractor (CLIP, DINOv2) for a CLIP-FID-style metric;
+#  2. a ``torchvision.models.inception_v3`` state_dict (.pt/.pth): the graph
+#     is rebuilt, inputs are resized to 299 bilinear and scaled to [-1, 1],
+#     features are the 2048-d avgpool output (pytorch-fid's preprocessing).
+
+
+def load_torch_extractor(weights_path: str):
+    """Returns ``f(x01_nhwc) -> (N, D) float64`` from a mounted weights file
+    (see the format list above).  Torch runs on CPU — fine for the few
+    hundred images a FID evaluation reads."""
+    import torch
+
+    try:
+        mod = torch.jit.load(weights_path, map_location="cpu")
+        mod.eval()
+
+        def run_scripted(x_nchw):
+            return mod(x_nchw)
+
+        run = run_scripted
+    except Exception:
+        from torchvision.models import inception_v3
+
+        net = inception_v3(weights=None, aux_logits=True, init_weights=False)
+        sd = torch.load(weights_path, map_location="cpu", weights_only=True)
+        net.load_state_dict(sd, strict=False)
+        net.fc = torch.nn.Identity()  # 2048-d avgpool features
+        net.eval()
+
+        def run_inception(x_nchw):
+            x = torch.nn.functional.interpolate(
+                x_nchw, size=(299, 299), mode="bilinear", align_corners=False)
+            return net(x * 2.0 - 1.0)
+
+        run = run_inception
+
+    def extract(x01: np.ndarray, batch: int = 32) -> np.ndarray:
+        import torch
+
+        x = np.asarray(x01, dtype=np.float32)
+        if x.ndim != 4:
+            raise ValueError(f"expected (N,H,W,C), got {x.shape}")
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))  # NHWC -> NCHW
+        outs = []
+        with torch.no_grad():
+            for i in range(0, len(xt), batch):
+                outs.append(run(xt[i:i + batch]).cpu().numpy())
+        return np.concatenate(outs, axis=0).astype(np.float64)
+
+    return extract
+
+
+def fid(real01: np.ndarray, gen01: np.ndarray, *,
+        extractor_path: Optional[str] = None, extractor=None) -> float:
+    """Fréchet distance with a REAL feature extractor.
+
+    Pass ``extractor_path`` (a mounted weights file — see
+    :func:`load_torch_extractor`) or a prebuilt ``extractor`` callable.
+    With neither, falls back to :func:`rfid` (documented stand-in)."""
+    if extractor is None and extractor_path is None:
+        return rfid(real01, gen01)
+    ex = extractor if extractor is not None else load_torch_extractor(extractor_path)
+    return frechet_distance(*_stats(ex(real01)), *_stats(ex(gen01)))

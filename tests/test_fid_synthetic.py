@@ -68,3 +68,38 @@ def test_rfid_zero_for_identical_and_ranks_quality(faces):
     ).astype(np.float32)
     d_corr = rfid(real, corrupted)
     assert d_same < d_corr < d_noise, (d_same, d_corr, d_noise)
+
+
+def test_fid_with_torchscript_extractor(tmp_path):
+    """The offline TRUE-FID hook (utils/fid.py): a mounted TorchScript
+    extractor drives the same Fréchet machinery.  Exercised with a tiny
+    scripted conv net standing in for the (unmountable-here) Inception."""
+    torch = pytest.importorskip("torch")
+    from ddpm_diffusion_model_tpu.utils.fid import fid, load_torch_extractor
+
+    class TinyExtractor(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            torch.manual_seed(0)
+            self.conv = torch.nn.Conv2d(3, 16, 3, stride=2)
+
+        def forward(self, x):  # (N,3,H,W) in [0,1] -> (N,32)
+            h = torch.nn.functional.leaky_relu(self.conv(x * 2 - 1), 0.2)
+            return torch.cat([h.mean(dim=(2, 3)), h.std(dim=(2, 3))], dim=1)
+
+    path = str(tmp_path / "extractor.pt")
+    torch.jit.save(torch.jit.script(TinyExtractor()), path)
+
+    rng = np.random.default_rng(0)
+    a = rng.random((96, 16, 16, 3)).astype(np.float32)
+    b = rng.random((96, 16, 16, 3)).astype(np.float32) * 0.5  # darker dist
+    ex = load_torch_extractor(path)
+    feats = ex(a[:4])
+    assert feats.shape == (4, 32) and feats.dtype == np.float64
+
+    same = fid(a, a.copy(), extractor_path=path)
+    diff = fid(a, b, extractor_path=path)
+    assert same < 1e-6
+    assert diff > same and diff > 0.01
+    # no extractor -> documented rfid fallback
+    assert fid(a, a.copy()) < 1e-6

@@ -88,6 +88,19 @@ def test_attn_block_pallas_impl_matches_xla():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=5e-5, rtol=5e-5)
 
 
+def test_flash_streams_kv_large_n():
+    """The O(block) VMEM claim, exercised: at N=4096 with BLOCK=256 the r2
+    kernel held full (1, N, d) K/V resident per program; the streamed kernel
+    walks 16 KV blocks per query block via the grid's minor axis.  Numerics
+    must still match XLA exactly (fwd) across the 16x16 block grid."""
+    q, k, v = _rand_qkv(K(7), (1, 1, 4096, 16))
+    with pltpu.force_tpu_interpret_mode():
+        out = flash_attention(q, k, v)
+    ref = attention_xla(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5, rtol=5e-5)
+
+
 def test_flash_gradients_multiblock():
     """Backward kernels across multiple q and kv blocks (N=512 -> 2x2)."""
     q, k, v = _rand_qkv(K(6), (1, 2, 512, 32))

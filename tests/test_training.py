@@ -657,3 +657,58 @@ def test_resume_overrides_ignored_on_fresh_start(setup, tmp_path, capsys):
     assert "WARNING: resume-time overrides requested" in out
     assert "base_lr: 1.00e-03" in out      # config LR, not the override
     assert "Reinitialized" not in out      # no repair happened
+
+
+def test_explicit_falsy_override_warns_on_fresh_start(setup, tmp_path, capsys):
+    """--override-lr 0.0 is falsy but explicitly passed: the fresh-start
+    gate must catch it (is-not-None test, not truthiness)."""
+    model, sched, params = setup
+    cfg = TrainConfig(base_lr=1e-3, warmup_steps=None, grad_accum_steps=1)
+    rng = np.random.default_rng(0)
+    data = [rng.normal(size=(4, RES, RES, 3)).astype(np.float32) * 0.3]
+    train_ddpm(
+        model, sched, data, train_config=cfg, init_params=params,
+        epochs=1, sample_every=10, img_size=RES,
+        ckpt_dir=str(tmp_path / "empty"), run_name="fresh0", save_every=10,
+        save_last=False, override_lr=0.0,
+    )
+    out = capsys.readouterr().out
+    assert "WARNING: resume-time overrides requested" in out
+    assert "base_lr: 1.00e-03" in out  # override cleared, config LR kept
+
+
+def test_resume_adopts_checkpoint_optimizer_layout(setup, tmp_path, capsys):
+    """A checkpoint written under the per-leaf tree optimizer (round-1 meta:
+    no flat_optimizer key) must resume under a config whose default is the
+    flat raveled layout — the loop reconciles from the meta sidecar instead
+    of hitting an Orbax structure mismatch."""
+    model, sched, params = setup
+    cfg_tree = TrainConfig(base_lr=1e-3, warmup_steps=2, flat_optimizer=False,
+                           dropout_rng_impl="threefry")
+    rng = np.random.default_rng(0)
+    data = [rng.normal(size=(4, RES, RES, 3)).astype(np.float32) * 0.3
+            for _ in range(2)]
+    ckpt_dir = str(tmp_path / "ck")
+    # legacy meta: strip the r2 knobs, as a round-1 run would have written
+    legacy_tc = {k: v for k, v in cfg_tree.to_dict().items()
+                 if k not in ("flat_optimizer", "dropout_rng_impl")}
+    train_ddpm(
+        model, sched, data, train_config=cfg_tree, init_params=params,
+        epochs=1, sample_every=10, img_size=RES,
+        ckpt_dir=ckpt_dir, run_name="r1", save_every=10,
+        configs_for_ckpt={"train": legacy_tc},
+    )
+    capsys.readouterr()
+
+    cfg_flat = TrainConfig(base_lr=1e-3, warmup_steps=2)  # default: flat
+    assert cfg_flat.flat_optimizer
+    state, _ = train_ddpm(
+        model, sched, data, train_config=cfg_flat, init_params=params,
+        epochs=2, sample_every=10, img_size=RES,
+        ckpt_dir=ckpt_dir, run_name="r1b", save_every=10, save_last=False,
+        resume_path=os.path.join(ckpt_dir, "r1_last"),
+    )
+    out = capsys.readouterr().out
+    assert "adopting checkpoint optimizer layout: flat_optimizer=False" in out
+    assert "[RESUME] loaded" in out
+    assert int(state.step) == 4  # resumed at 2, one more epoch of 2 batches
