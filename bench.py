@@ -95,9 +95,19 @@ def bench_sampling(args):
             np.asarray(x)
         results["ddim50_cached_samples_per_s"] = reps * n / (time.perf_counter() - t0)
 
+    from ddpm_diffusion_model_tpu.utils.flops import mfu, sampling_flops
+
     for k, v in results.items():
-        print(json.dumps({"metric": k + tag, "value": round(v, 3),
-                          "unit": "samples/s", "vs_baseline": None}))
+        row = {"metric": k + tag, "value": round(v, 3),
+               "unit": "samples/s", "vs_baseline": None}
+        # honest MFU for the fixed-step samplers (the cached sampler skips
+        # encoder work on reuse steps, so its analytic FLOPs differ)
+        steps = {"ddpm1000_samples_per_s": 1000,
+                 "ddim50_samples_per_s": 50}.get(k)
+        if steps is not None:
+            per_img_flops = sampling_flops(mcfg, 1, steps)
+            row["mfu_v5e"] = round(mfu(int(v * per_img_flops), 1.0), 3)
+        print(json.dumps(row))
 
 
 def main():
@@ -115,6 +125,10 @@ def main():
     ap.add_argument("--remat", choices=["on", "off"], help="override remat")
     ap.add_argument("--fused-gn", action="store_true",
                     help="tiled Pallas GN+SiLU+time-bias epilogue")
+    ap.add_argument("--dropout-impl", choices=["packed", "flax"],
+                    help="ResBlock mask impl (default: model default)")
+    ap.add_argument("--dropout-rng", choices=["rbg", "threefry"],
+                    help="dropout key family (default: TrainConfig default)")
     args = ap.parse_args()
 
     from ddpm_diffusion_model_tpu.utils.compilation_cache import (
@@ -157,14 +171,21 @@ def main():
     if args.accum:
         accum = args.accum
     use_remat = False if args.remat is None else args.remat == "on"
+    model_kw = {}
+    if args.dropout_impl:
+        model_kw["dropout_impl"] = args.dropout_impl
     model = UNetDenoiser(mcfg, dtype=jnp.bfloat16, remat=use_remat,
-                         fused_gn=args.fused_gn)
+                         fused_gn=args.fused_gn, **model_kw)
     dyn = 0.995 if args.config == "hq256" else None
     sched = make_schedule(
         DiffusionConfig(T=1000, schedule="linear", img_size=res, dynamic_threshold=dyn)
     )
+    tcfg_kw = {}
+    if args.dropout_rng:
+        tcfg_kw["dropout_rng_impl"] = args.dropout_rng
     tcfg = TrainConfig(
-        base_lr=2e-4, warmup_steps=1000, grad_accum_steps=accum, ema_decay=ema
+        base_lr=2e-4, warmup_steps=1000, grad_accum_steps=accum, ema_decay=ema,
+        **tcfg_kw
     )
 
     params = model.init(

@@ -7,13 +7,30 @@ per element and compares in float; even on the TPU hardware RngBitGenerator
 (``dropout_rng_impl="rbg"``) the bit generation + mask traffic left ~6 ms
 of a 119.5 ms step on the table.
 
-This op draws ONE uint32 word per FOUR elements (the channel axis is viewed
-as uint8 lanes), compares in uint8, and applies the keep/scale in the
-compute dtype:
+This op draws uint8 random bits directly (``jax.random.bits(key, shape,
+uint8)``), compares in uint8, and applies the keep/scale in the compute
+dtype:
 
-    bits  : uint8 in [0, 256)            (4 elements per generated word)
+    bits  : uint8 in [0, 256)
     drop  <=> bits < round(rate * 256)
     y      = x * scale * keep,  scale = 1 / (1 - t/256)
+
+Measured (scripts/profile_dropout.py, v5e, the step's full 560M-draw
+workload, in-graph amortized): direct uint8 bits = 0.90 ms vs 5.69 ms for
+``bernoulli`` on the same rbg key (the float-uniform convert + fp compare
+dominate, not bit generation) and 11.7 ms for threefry bernoulli.  An
+earlier revision packed 4 uint8 lanes per uint32 word via
+``bitcast_convert_type`` + reshape; in isolation it measured the same
+0.92 ms, but the trailing ``(..., n/4, 4)`` relayout is a fusion boundary
+inside the ResBlock chain and regressed the full train step by ~8 ms —
+the direct draw keeps the mask producer elementwise so XLA fuses it into
+the surrounding GN/SiLU/conv chain.
+
+The cheap-bits property is specific to the rbg key family (the train
+step's default, ``TrainConfig.dropout_rng_impl="rbg"``): under threefry,
+uint8 draws cost a full word of VPU arithmetic per element (measured
+13.6 ms for the same workload — on par with threefry bernoulli), so this
+op only pays off on the hardware-generator stream.
 
 The drop probability is therefore quantized to 1/256 granularity (rate 0.1
 becomes 26/256 ~= 0.1016); the inverted scale uses the ACTUAL t/256 rate,
@@ -42,16 +59,14 @@ __all__ = ["packed_dropout", "PackedDropout"]
 
 
 def _uint8_bits(key: jax.Array, shape) -> jnp.ndarray:
-    """uint8 random bits of ``shape``, generated as ceil(n/4) uint32 words.
+    """uint8 random bits of ``shape``.
 
-    When the trailing dim is divisible by 4 the generator runs at exactly
-    8 bits/element; otherwise we fall back to ``jax.random.bits`` on uint8
-    (which may draw a full word per element depending on the PRNG impl).
+    A direct elementwise draw: under the rbg impl the hardware
+    RngBitGenerator makes this as cheap as word-packed generation (measured
+    equal at 0.9 ms for the 560M-draw step workload) and, unlike the packed
+    bitcast+reshape formulation, it fuses into the consuming elementwise
+    chain instead of forcing a relayout (see module docstring).
     """
-    if shape and shape[-1] % 4 == 0:
-        words = jax.random.bits(key, (*shape[:-1], shape[-1] // 4), jnp.uint32)
-        lanes = jax.lax.bitcast_convert_type(words, jnp.uint8)  # (..., n/4, 4)
-        return lanes.reshape(shape)
     return jax.random.bits(key, shape, jnp.uint8)
 
 
