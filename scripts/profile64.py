@@ -103,8 +103,12 @@ def main():
     report("FULL train step (accum 1)", full_ms, f"{B / (full_ms / 1e3):7.1f} imgs/s")
     params = st.params
 
-    # fwd-only loss, train mode (dropout active, fresh t/noise)
-    loss_fn = jax.jit(make_loss_fn(model, sched))
+    # fwd-only loss, train mode (dropout active, fresh t/noise).
+    # NB: thread the rbg dropout stream like the real step does
+    # (TrainConfig.dropout_rng_impl="rbg") — with the default threefry
+    # stream this row charges uint8 mask bits at a full threefry word per
+    # element (~12 ms extra) that the shipped step never pays.
+    loss_fn = jax.jit(make_loss_fn(model, sched, dropout_rng_impl="rbg"))
     ms_train = timeit(lambda: loss_fn(params, batch, jax.random.key(1)),
                       steps=args.steps)
     report("fwd loss, train mode (dropout on)", ms_train)
@@ -135,11 +139,14 @@ def main():
         return sum(jnp.sum(v.astype(jnp.float32)) for v in jax.tree.leaves(g))
 
     def fwdbwd(p, x, key, det):
+        from ddpm_diffusion_model_tpu.training.step import _dropout_key
+
         def lf(pp):
             from ddpm_diffusion_model_tpu.ops.diffusion import (
                 loss_simple, sample_timesteps,
             )
             kt, kn, kd = jax.random.split(key, 3)
+            kd = _dropout_key(kd, "rbg")  # match the real step's stream
             t = sample_timesteps(kt, x.shape[0], sched.T)
             noise = jax.random.normal(kn, x.shape, dtype=jnp.float32)
             if det:

@@ -101,3 +101,30 @@ def test_sharded_sample_ema_and_save(setup, tmp_path):
     assert x.shape == (16, RES, RES, 3)
     assert (x >= 0).all() and (x <= 1).all()
     assert out_path.exists()
+
+
+def test_sharded_hq256_topology_matches_single_device():
+    """The CelebA-HQ-256 topology (channel_mults (1,1,2,2,4), attn {16},
+    dynamic threshold 0.995 — ``unet_256x256_config`` scaled to base 8 /
+    res 32 for CPU speed) shards over the 8-device mesh and reproduces the
+    single-device scan.  The full-size (63.1M param, 256px) equality run is
+    recorded in docs/BENCH.md (max err 5.4e-7 on the 8-device CPU mesh)."""
+    res = 32
+    cfg = UNetConfig(
+        base_channels=8, channel_mults=(1, 1, 2, 2, 4), num_res_blocks=1,
+        attn_resolutions=(16,), time_embed_dim=32, num_heads=2, head_dim=8,
+        img_resolution=res,
+    )
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    sched = make_schedule(
+        DiffusionConfig(T=50, img_size=res, dynamic_threshold=0.995))
+    params = model.init(jax.random.key(0), jnp.ones((1, res, res, 3)),
+                        jnp.zeros((1,)))
+    mesh = make_mesh()
+    x8 = sample_grid_sharded(model, params, sched, mesh, kind="ddim", n=8,
+                             img_size=res, seed=11, steps=4)
+    ts = tuple(int(t) for t in build_ddim_schedule("t_linear", 4, 50))
+    x1, _ = _ddim_jit(model, params, sched, jax.random.key(11),
+                      (8, res, res, 3), ts, 0.0, None)
+    np.testing.assert_allclose(
+        x8, np.asarray(to_unit_interval(x1)), atol=2e-5)
