@@ -88,10 +88,16 @@ def _mha_jit(
         from .flash_attention import flash_attention
 
         return flash_attention(q, k, v)
-    # auto
+    # auto — measured crossover (scripts/profile_attn.py, v5e, r3): at the
+    # U-Net's real shapes (B·heads large, N ≤ 256) XLA's single batched
+    # einsum beats the flash kernel's B·h·blocks program grid (AttnBlock
+    # f+b 16x16: 2.52 ms XLA vs 3.44 ms Pallas at batch 128); the kernel
+    # pays off where the N^2 logits materialization starts to dominate
+    # (≥2048 tokens ⇒ ≥8 MB/head-pair in bf16) and where its O(block)
+    # memory is the point.
     on_tpu = jax.default_backend() == "tpu"
     n = q.shape[-2]
-    if on_tpu and n >= 256:
+    if on_tpu and n >= 2048:
         try:
             from .flash_attention import flash_attention
         except ImportError:
