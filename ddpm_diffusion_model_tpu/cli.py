@@ -62,13 +62,12 @@ def _exp_from_args(args):
             return ExperimentConfig.from_json(f.read())
     exp = get_preset(args.preset)
     if getattr(args, "ckpt", None):
-        meta_path = os.path.join(args.ckpt, "meta.json")
-        if os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
-            if meta.get("configs", {}).get("experiment"):
-                return ExperimentConfig.from_dict(
-                    meta["configs"]["experiment"], legacy=True)
+        from .training.checkpoint import read_meta
+
+        meta = read_meta(args.ckpt) or {}
+        if meta.get("configs", {}).get("experiment"):
+            return ExperimentConfig.from_dict(
+                meta["configs"]["experiment"], legacy=True)
     return exp
 
 

@@ -106,19 +106,16 @@ class SamplerService:
     @classmethod
     def from_checkpoint(cls, ckpt_path: str, config_path: Optional[str] = None,
                         ema: bool = True, use_mesh: bool = True):
-        import os
-
         from .cli import _load_state
+        from .training.checkpoint import read_meta
         from .utils.config import ExperimentConfig, get_preset
 
         exp = None
-        meta_path = os.path.join(ckpt_path, "meta.json")
         if config_path:
             with open(config_path) as f:
                 exp = ExperimentConfig.from_json(f.read())
-        elif os.path.exists(meta_path):
-            with open(meta_path) as f:
-                meta = json.load(f)
+        else:
+            meta = read_meta(ckpt_path) or {}
             if meta.get("configs", {}).get("experiment"):
                 exp = ExperimentConfig.from_dict(meta["configs"]["experiment"])
         if exp is None:

@@ -31,6 +31,7 @@ from .state import TrainState
 __all__ = [
     "save_checkpoint",
     "load_checkpoint",
+    "read_meta",
     "wait_for_checkpoints",
     "apply_resume_overrides",
     "mirror_checkpoint",
@@ -64,6 +65,27 @@ def _state_to_saveable(state: TrainState) -> Dict[str, Any]:
         # typed PRNG keys are stored as raw key data
         "rng_data": jax.random.key_data(state.rng),
     }
+
+
+def read_meta(path: str, *, strict: bool = False) -> Optional[Dict[str, Any]]:
+    """Read a checkpoint directory's ``meta.json`` sidecar.
+
+    The single parser for every consumer (resume reconciliation, CLI config
+    recovery, latest-checkpoint resolution) so the sidecar format lives in
+    one place.  Returns ``None`` when the sidecar is missing — or unreadable
+    with ``strict=False``; ``strict=True`` propagates parse errors (a
+    present-but-corrupt sidecar on an explicit load should fail loudly
+    rather than silently dropping the saved configs)."""
+    meta_path = os.path.join(path, "meta.json")
+    if not os.path.exists(meta_path):
+        return None
+    try:
+        with open(meta_path) as f:
+            return json.load(f)
+    except (OSError, json.JSONDecodeError):
+        if strict:
+            raise
+        return None
 
 
 def _finalize_save(path: str, meta: Dict[str, Any],
@@ -114,7 +136,9 @@ def save_checkpoint(
     train step is safe) and disk serialization + the meta sidecar + the
     optional mirror copy overlap the next epoch's compute on a background
     thread.  Call :func:`wait_for_checkpoints` (or any later save/load, which
-    drain first) before reading the directory.
+    drain first) before reading the directory.  In multi-process runs
+    ``block=False`` is ignored (the finalize barrier is a collective and must
+    run on the main thread, ordered with the train-step collectives).
     """
     import orbax.checkpoint as ocp
 
@@ -133,6 +157,14 @@ def save_checkpoint(
         "extra": extra or {},
         "configs": configs or {},
     }
+    if jax.process_count() > 1:
+        # _finalize_save ends in a cross-process barrier collective; issuing
+        # it from the background thread would let it interleave in a
+        # different order than the main thread's train-step collectives on
+        # each process (process 0 enqueues [step, barrier], process 1
+        # [barrier, step]) and hang the pod.  Multi-process saves therefore
+        # always block; async overlap remains a single-process optimization.
+        block = True
     if block:
         _finalize_save(path, meta, mirror_dir, fixed_mirror_name, log)
     else:
@@ -221,11 +253,7 @@ def load_checkpoint(
     if "rng" in sel:
         repl["rng"] = jax.random.wrap_key_data(restored["rng_data"])
     state = template.replace(**repl)
-    meta_path = os.path.join(path, "meta.json")
-    meta: Dict[str, Any] = {}
-    if os.path.exists(meta_path):
-        with open(meta_path) as f:
-            meta = json.load(f)
+    meta = read_meta(path, strict=True) or {}
     return state, meta
 
 
@@ -349,13 +377,8 @@ def find_latest_checkpoint(ckpt_dir: str, run_name: str) -> Optional[str]:
            os.path.join(ckpt_dir, f"{run_name}_preempt")]
     )
     for path in candidates:
-        meta_path = os.path.join(path, "meta.json")
-        if not os.path.exists(meta_path):
-            continue
-        try:
-            with open(meta_path) as f:
-                meta = json.load(f)
-        except (OSError, json.JSONDecodeError):
+        meta = read_meta(path)
+        if meta is None:
             continue
         key = (int(meta.get("global_step", -1)), int(meta.get("epoch", -1)))
         if key > best_key:

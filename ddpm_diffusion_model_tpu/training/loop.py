@@ -31,6 +31,7 @@ from ..ops.schedules import DiffusionSchedule
 from .checkpoint import (
     apply_resume_overrides,
     load_checkpoint,
+    read_meta,
     save_checkpoint,
     wait_for_checkpoints,
 )
@@ -59,13 +60,8 @@ def _saved_train_config(ckpt_path: str) -> Optional[TrainConfig]:
     """Best-effort read of the TrainConfig a checkpoint was written with
     (from its ``meta.json`` sidecar), legacy-defaulted so pre-knob metas
     resolve to the structures those runs actually used."""
-    meta_path = os.path.join(ckpt_path, "meta.json")
-    if not os.path.exists(meta_path):
-        return None
-    try:
-        with open(meta_path) as f:
-            meta = json.load(f)
-    except (OSError, json.JSONDecodeError):
+    meta = read_meta(ckpt_path)
+    if meta is None:
         return None
     configs = meta.get("configs") or {}
     tc = (configs.get("experiment") or {}).get("train") or configs.get("train")

@@ -152,12 +152,27 @@ def load_torch_extractor(weights_path: str):
             return mod(x_nchw)
 
         run = run_scripted
-    except Exception:
+    except RuntimeError:
+        # not a TorchScript archive -> must be an inception_v3 state_dict.
+        # Loading is STRICT: a silently-mismatched extractor would return a
+        # random-weight network and a garbage-but-plausible "FID".
         from torchvision.models import inception_v3
 
         net = inception_v3(weights=None, aux_logits=True, init_weights=False)
         sd = torch.load(weights_path, map_location="cpu", weights_only=True)
-        net.load_state_dict(sd, strict=False)
+        if not isinstance(sd, dict):
+            raise ValueError(
+                f"{weights_path}: neither a TorchScript module nor a "
+                f"state_dict (got {type(sd).__name__})")
+        if any(k.startswith("module.") for k in sd):  # DataParallel export
+            sd = {k.removeprefix("module."): v for k, v in sd.items()}
+        try:
+            net.load_state_dict(sd, strict=True)
+        except RuntimeError as e:
+            raise ValueError(
+                f"{weights_path} does not match torchvision inception_v3 "
+                f"(aux_logits=True); refusing to compute FID with "
+                f"partially-loaded weights: {e}") from e
         net.fc = torch.nn.Identity()  # 2048-d avgpool features
         net.eval()
 

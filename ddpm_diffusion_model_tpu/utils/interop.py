@@ -257,7 +257,10 @@ def import_torch_checkpoint(
     )
     info = {
         "params": sum(int(p.size) for p in jax.tree.leaves(params)),
-        "step": step, "epoch": epoch, "ema": "shadow" in ema_info,
+        "step": step, "epoch": epoch,
+        # must mirror the import decision above: a {'shadow': None} entry
+        # fell back to a params copy and must not report as imported EMA
+        "ema": ema_info.get("shadow") is not None,
         "ema_decay": ema_decay,
     }
     return path, info

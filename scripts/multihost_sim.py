@@ -26,6 +26,7 @@ import json
 import os
 import subprocess
 import sys
+import time
 
 PORT = 47311
 STEPS = 3
@@ -166,20 +167,36 @@ def launch(tmp_dir: str) -> dict:
         env["XLA_FLAGS"] = (
             f"{xla} --xla_force_host_platform_device_count={devs_per_proc}"
         ).strip()
+        # Workers write to FILES, not PIPEs: the processes are coupled by
+        # collectives, so draining one worker's pipe while the other fills
+        # its 64 KB buffer would deadlock the pair (blocked write -> missed
+        # collective -> both stuck until timeout).
+        logs = [os.path.join(tmp_dir, f"worker_{n_procs}p_{i}.log")
+                for i in range(n_procs)]
+        files = [open(p, "w") for p in logs]
         procs = [
             subprocess.Popen(
                 [sys.executable, os.path.abspath(__file__), "--worker",
                  str(i), str(n_procs)],
-                env=env, stdout=subprocess.PIPE,
-                stderr=subprocess.STDOUT, text=True,
+                env=env, stdout=files[i], stderr=subprocess.STDOUT, text=True,
             )
             for i in range(n_procs)
         ]
+        deadline = time.monotonic() + 600
+        try:
+            for p in procs:
+                p.wait(timeout=max(1.0, deadline - time.monotonic()))
+        except subprocess.TimeoutExpired:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+            raise
+        finally:
+            for f in files:
+                f.close()
         results = {}
-        outputs = []
         for i, p in enumerate(procs):
-            out, _ = p.communicate(timeout=600)
-            outputs.append(out)
+            out = open(logs[i]).read()
             for line in out.splitlines():
                 if line.startswith(f"RESULT {i} "):
                     results[i] = json.loads(line.split(" ", 2)[2])

@@ -103,3 +103,21 @@ def test_fid_with_torchscript_extractor(tmp_path):
     assert diff > same and diff > 0.01
     # no extractor -> documented rfid fallback
     assert fid(a, a.copy()) < 1e-6
+
+
+def test_mismatched_extractor_weights_rejected(tmp_path):
+    """A weights file that is neither TorchScript nor a matching
+    inception_v3 state_dict must raise, not silently score FID with a
+    random-weight network."""
+    torch = pytest.importorskip("torch")
+    from ddpm_diffusion_model_tpu.utils.fid import load_torch_extractor
+
+    bad = str(tmp_path / "bad.pth")
+    torch.save({"some.layer.weight": torch.zeros(3, 3)}, bad)
+    with pytest.raises(ValueError, match="does not match"):
+        load_torch_extractor(bad)
+
+    notdict = str(tmp_path / "notdict.pth")
+    torch.save(torch.zeros(4), notdict)
+    with pytest.raises(ValueError, match="neither"):
+        load_torch_extractor(notdict)
