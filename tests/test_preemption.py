@@ -180,6 +180,27 @@ def test_find_latest_checkpoint_picks_max_step(tmp_path):
     assert find_latest_checkpoint(ckpt_dir, "r").endswith("r_last")
 
 
+def test_read_meta_tolerance_modes(tmp_path):
+    """read_meta: the single sidecar parser — None when missing/corrupt,
+    strict=True propagates parse errors on a present-but-corrupt file."""
+    import pytest
+
+    from ddpm_diffusion_model_tpu.training.checkpoint import read_meta
+
+    d = str(tmp_path / "ck")
+    os.makedirs(d)
+    assert read_meta(d) is None  # missing sidecar
+    assert read_meta(d, strict=True) is None  # strict only hardens parsing
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        f.write("{broken")
+    assert read_meta(d) is None
+    with pytest.raises(json.JSONDecodeError):
+        read_meta(d, strict=True)
+    with open(os.path.join(d, "meta.json"), "w") as f:
+        json.dump({"epoch": 3}, f)
+    assert read_meta(d) == {"epoch": 3}
+
+
 def test_handle_preemption_off_leaves_handlers(setup, tmp_path):
     """handle_preemption=False must not touch the process signal table."""
     model, sched, params = setup
