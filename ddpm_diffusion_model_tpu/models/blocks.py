@@ -222,6 +222,17 @@ class AttnBlock(nn.Module):
 
         q, k, v = shard_heads(q), shard_heads(k), shard_heads(v)
         if self.p_drop > 0.0 and not self.deterministic:
+            # attention-weight dropout needs the materialized (N, N) probs,
+            # so it runs the dense XLA path.  That silently defeating
+            # ring/context-parallel attention (whose point is never holding
+            # N^2 logits) would be a correctness trap — refuse instead.
+            if self.attn_impl == "ring":
+                raise ValueError(
+                    "attn_impl='ring' does not support attention-weight "
+                    "dropout (attn_p_drop > 0 in train mode): the dense "
+                    "dropout path materializes the N^2 logits that ring/CP "
+                    "attention exists to avoid. Set attn_p_drop=0.0 or use "
+                    "a dense attn_impl.")
             from ..ops.attention import attention_xla
 
             out = attention_xla(

@@ -51,11 +51,20 @@ def make_mesh(
 def initialize_distributed(**kwargs) -> None:
     """Multi-host bring-up: ``jax.distributed.initialize`` (coordinator
     address etc. from env or kwargs).  No-op if already initialized or
-    single-process."""
+    single-process — but genuine connect failures (wrong coordinator
+    address, firewalled port) PROPAGATE: swallowing them would let every
+    host continue as an independent process_count()==1 run, silently
+    duplicating the whole workload with identical seeds."""
     try:
         jax.distributed.initialize(**kwargs)
-    except (RuntimeError, ValueError):
-        pass  # already initialized, or single-process run
+    except (RuntimeError, ValueError) as e:
+        msg = str(e).lower()
+        benign = ("already initialized" in msg
+                  or "is already" in msg
+                  or "single process" in msg
+                  or ("coordinator_address" in msg and not kwargs))
+        if not benign:
+            raise
 
 
 def batch_sharding(mesh: Mesh, ndim: int = 4, axis: str = "data") -> NamedSharding:

@@ -71,7 +71,7 @@ def sample_grid_sharded(
     img_size: int = 64,
     axis: str = "data",
     seed: int = 1234,
-    steps: int = 50,
+    steps: Optional[int] = None,
     num_steps: Optional[int] = None,
     eta: float = 0.0,
     schedule_kind: str = "t_linear",
@@ -82,10 +82,19 @@ def sample_grid_sharded(
 
     Returns the gathered (n, H, W, C) [0,1] array on the host.  ``kind`` is
     ``"ddpm"`` (ancestral, ``num_steps`` truncation like the reference's
-    ``training_utils.py:13``) or ``"ddim"`` (ladder of ``steps``).
+    ``training_utils.py:13``) or ``"ddim"`` (ladder of ``steps``,
+    default 50).  Passing ``steps`` with ``kind="ddpm"`` raises — the
+    ancestral knob is ``num_steps``, and silently running the full
+    T-step chain instead of the requested 50 would cost ~20x wall-clock.
     """
     if kind not in ("ddpm", "ddim"):
         raise ValueError(f"kind must be 'ddpm' or 'ddim', got {kind!r}")
+    if kind == "ddpm" and steps is not None:
+        raise ValueError(
+            "steps= sets the DDIM ladder only; for kind='ddpm' use "
+            "num_steps= (ancestral truncation)")
+    if kind == "ddim" and steps is None:
+        steps = 50
     n_dev = mesh.shape[axis]
     if n % n_dev:
         raise ValueError(

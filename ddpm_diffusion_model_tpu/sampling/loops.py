@@ -45,7 +45,16 @@ def _capture_slots(ts: np.ndarray, capture_steps: Optional[Sequence[int]]) -> Tu
     """
     if capture_steps is None:
         return np.full(ts.shape, -1, dtype=np.int32), 0
-    cap = [t for t in sorted({int(t) for t in capture_steps}, reverse=True) if t in set(ts.tolist())]
+    ladder = set(ts.tolist())
+    req = sorted({int(t) for t in capture_steps}, reverse=True)
+    cap = [t for t in req if t in ladder]
+    if not cap:
+        # fail here with names, not later as `np.asarray(None).shape[0]`
+        raise ValueError(
+            f"capture_steps {req} has no overlap with the sampler's "
+            f"timestep ladder ({len(ladder)} steps, "
+            f"{max(ladder)}..{min(ladder)}); pick values from the ladder "
+            "or pass capture_steps=None for the default spread")
     slot_of = {t: i for i, t in enumerate(cap)}
     slots = np.array([slot_of.get(int(t), -1) for t in ts], dtype=np.int32)
     return slots, len(cap)

@@ -87,6 +87,11 @@ def test_sharded_sample_validation(setup):
     with pytest.raises(ValueError, match="kind"):
         sample_grid_sharded(model, params, sched, mesh, kind="euler", n=8,
                             img_size=RES)
+    # steps= is the DDIM ladder knob; silently running the full ancestral
+    # chain for kind='ddpm' would be a ~20x wall-clock surprise
+    with pytest.raises(ValueError, match="num_steps"):
+        sample_grid_sharded(model, params, sched, mesh, kind="ddpm", n=8,
+                            img_size=RES, steps=50)
 
 
 def test_sharded_sample_ema_and_save(setup, tmp_path):

@@ -158,6 +158,17 @@ def test_ring_impl_requires_context():
         blk.init(K(8), jnp.ones((1, 8, 8, 16)))
 
 
+def test_ring_impl_rejects_attention_dropout():
+    """attn-weight dropout materializes N^2 probs — combining it with
+    ring/CP attention must refuse rather than silently go dense."""
+    from ddpm_diffusion_model_tpu.models.blocks import AttnBlock
+
+    blk = AttnBlock(num_heads=2, head_dim=8, dtype=jnp.float32,
+                    attn_impl="ring", p_drop=0.1, deterministic=False)
+    with pytest.raises(ValueError, match="ring"):
+        blk.init({"params": K(8), "dropout": K(9)}, jnp.ones((1, 8, 8, 16)))
+
+
 def test_ring_impl_indivisible_sequence_raises():
     from ddpm_diffusion_model_tpu.ops.ring_attention import (
         context_parallel_mesh,

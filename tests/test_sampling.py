@@ -122,6 +122,14 @@ def test_ddpm_loop_capture_frames(sched, tiny):
     )
 
 
+def test_capture_steps_without_ladder_overlap_raises(sched, tiny):
+    model, params = tiny
+    x0 = jax.random.normal(jax.random.key(4), (1, RES, RES, 3))
+    with pytest.raises(ValueError, match="no overlap"):
+        ddpm_sample_loop(sched, _eps_fn(model, params), x0,
+                         jax.random.key(5), capture_steps=[T + 50])
+
+
 def test_ddim_loop_eta0_deterministic_ignores_key(sched, tiny):
     model, params = tiny
     x0 = jax.random.normal(jax.random.key(6), (2, RES, RES, 3))
