@@ -98,10 +98,19 @@ def _make_loader(args, exp, with_eval=False):
         get_celeba_loaders,
     )
 
+    device_cache = bool(getattr(args, "device_cache", False))
+
+    def _train_loader_from_array(arr, seed):
+        if device_cache:
+            from .data import DeviceCacheLoader
+
+            return DeviceCacheLoader(arr, exp.batch_size, seed=seed)
+        return DataLoader(ArrayDataset(np.asarray(arr)), exp.batch_size,
+                          seed=seed, shuffle=True)
+
     if args.data == "synthetic":
-        train = DataLoader(
-            ArrayDataset(_synthetic_array(exp, args.synthetic_size, exp.seed)),
-            exp.batch_size, seed=exp.seed)
+        train = _train_loader_from_array(
+            _synthetic_array(exp, args.synthetic_size, exp.seed), exp.seed)
         val = DataLoader(
             ArrayDataset(_synthetic_array(exp, _eval_set_size(args, exp),
                                           exp.seed + 777)),
@@ -112,26 +121,35 @@ def _make_loader(args, exp, with_eval=False):
         # stand-in for CelebA — real learning dynamics without egress
         from .data import BlobFacesDataset
 
-        if getattr(args, "preload", False):
+        if getattr(args, "preload", False) or device_cache:
             # render the whole corpus to RAM once (~50 MB per 1k 64px
             # images): per-item python rendering (~400 imgs/s) would
-            # otherwise starve a chip that trains at 1000+ imgs/s
-            from .data import ArrayDataset as _AD, blob_faces_array
+            # otherwise starve a chip that trains at 1000+ imgs/s.
+            # --device-cache additionally pins it in HBM (implies preload).
+            from .data import blob_faces_array
 
             arr = blob_faces_array(args.synthetic_size,
                                    img_size=exp.img_size, seed=exp.seed)
-            train = DataLoader(_AD(arr), exp.batch_size, seed=exp.seed,
-                               shuffle=True)
+            train = _train_loader_from_array(arr, exp.seed)
         else:
             ds = BlobFacesDataset(args.synthetic_size, img_size=exp.img_size,
                                   seed=exp.seed)
             train = DataLoader(ds, exp.batch_size, seed=exp.seed, shuffle=True)
         val = None
         if with_eval:
-            val_ds = BlobFacesDataset(_eval_set_size(args, exp),
-                                      img_size=exp.img_size,
-                                      seed=exp.seed + 777)
-            val = DataLoader(val_ds, exp.batch_size, shuffle=False)
+            if device_cache:
+                from .data import DeviceCacheLoader, blob_faces_array
+
+                val = DeviceCacheLoader(
+                    blob_faces_array(_eval_set_size(args, exp),
+                                     img_size=exp.img_size,
+                                     seed=exp.seed + 777),
+                    exp.batch_size, shuffle=False)
+            else:
+                val_ds = BlobFacesDataset(_eval_set_size(args, exp),
+                                          img_size=exp.img_size,
+                                          seed=exp.seed + 777)
+                val = DataLoader(val_ds, exp.batch_size, shuffle=False)
         return train, val
     if args.data == "zip":
         if not args.zip_path:
@@ -444,6 +462,12 @@ def main(argv=None):
     sp.add_argument("--preload", action="store_true",
                     help="blobs: render the whole corpus to RAM up front "
                          "(feeds the chip at full training rate)")
+    sp.add_argument("--device-cache", action="store_true",
+                    help="blobs/synthetic: pin the corpus in device HBM and "
+                         "gather batches on device — removes per-step "
+                         "host->device traffic (essential on slow-link "
+                         "hosts; costs corpus_bytes of HBM). Implies "
+                         "--preload for blobs.")
     sp.add_argument("--epochs", type=int)
     sp.add_argument("--max-batches", type=int)
     sp.add_argument("--ckpt-dir", default="checkpoints")

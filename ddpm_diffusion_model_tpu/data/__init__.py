@@ -6,7 +6,7 @@ from .datasets import (  # noqa: F401
     SubsetDataset,
     ensure_extracted,
 )
-from .loader import DataLoader, device_prefetch  # noqa: F401
+from .loader import DataLoader, DeviceCacheLoader, device_prefetch  # noqa: F401
 from .celeba import (  # noqa: F401
     build_hf_image_loader,
     create_subset_dataloader,

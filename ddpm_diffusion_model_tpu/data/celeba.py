@@ -95,8 +95,15 @@ def _celeba_offline_loaders(
         splits = (by_split[0], by_split[1], by_split[2])
     else:
         n = len(all_paths)
-        n_train = min(162770, int(n * 0.8))
-        n_valid = min(19867, max(0, (n - n_train) // 2))
+        if n >= 202599:
+            # full aligned corpus without the partition file: use the
+            # official boundaries directly (train 162770 / valid 19867 /
+            # test rest) — the images are index-ordered, so this IS the
+            # official partition
+            n_train, n_valid = 162770, 19867
+        else:
+            n_train = int(n * 0.8)
+            n_valid = max(0, (n - n_train) // 2)
         splits = (
             all_paths[:n_train],
             all_paths[n_train : n_train + n_valid],

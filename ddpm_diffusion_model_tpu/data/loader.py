@@ -21,7 +21,7 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["DataLoader", "device_prefetch"]
+__all__ = ["DataLoader", "DeviceCacheLoader", "device_prefetch"]
 
 
 class _ProducerError:
@@ -78,7 +78,14 @@ class DataLoader:
         return idx
 
     def __len__(self) -> int:
-        n = len(self._epoch_indices())
+        # arithmetic, not _epoch_indices(): building (and shuffling) the
+        # full index permutation to COUNT batches is O(n) per len() call
+        n = len(self.dataset)
+        if self.shard_hosts:
+            import jax
+
+            pi, pc = jax.process_index(), jax.process_count()
+            n = max(0, (n - pi + pc - 1) // pc)  # == len(range(pi, n, pc))
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
@@ -131,6 +138,95 @@ class DataLoader:
                     out_q.get_nowait()
                 except queue.Empty:
                     break
+
+
+class DeviceCacheLoader:
+    """Device-resident corpus: upload to HBM once, gather batches on device.
+
+    TPU-native answer to slow host links (tunnel- or DCN-attached hosts):
+    the threaded :class:`DataLoader` streams every batch over the
+    host->device link each step — at 256px batch 64 that is ~50 MB/step,
+    which turned a measured 569 ms train step into 12.8 s through this
+    machine's tunnel.  Pinning the corpus in HBM once makes per-step data
+    loading an on-device gather (microseconds), at the cost of
+    ``corpus_bytes`` of HBM (6400 images at 256px fp32 = 4.8 GB; pass
+    ``dtype=jnp.bfloat16`` to halve it).
+
+    Epoch shuffle orders match :class:`DataLoader` exactly
+    (``default_rng(seed + epoch)`` permutation, advancing per ``__iter__``,
+    pinnable with ``set_epoch``), so the two are drop-in equivalents for a
+    preloaded array corpus.  Yields ``(jax.Array, None)`` batches; the
+    train loop passes device arrays through untouched.
+
+    With ``sharding`` (a batch `NamedSharding`), the corpus is uploaded
+    REPLICATED over the sharding's mesh and each gathered batch is
+    constrained to the batch sharding — correct for DP, at n_devices x the
+    HBM cost.  Sharding the corpus itself over the mesh is future work.
+    """
+
+    def __init__(self, data, batch_size: int, *, shuffle: bool = True,
+                 drop_last: bool = True, seed: int = 0, sharding=None,
+                 dtype=None):
+        import jax
+
+        if isinstance(data, np.ndarray):
+            arr = data
+        else:  # dataset protocol: materialize ((img, label) or bare items)
+            first = data[0]
+            tup = isinstance(first, tuple)
+            arr = np.stack([
+                np.asarray(data[i][0] if tup else data[i])
+                for i in range(len(data))
+            ])
+        if arr.ndim != 4:
+            raise ValueError(f"expected (N,H,W,C) corpus, got {arr.shape}")
+        if dtype is not None:
+            arr = arr.astype(dtype)
+        self.n = int(arr.shape[0])
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+        self.sharding = sharding
+        self._epoch = 0
+        if sharding is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            self.corpus = jax.device_put(
+                arr, NamedSharding(sharding.mesh, P()))
+        else:
+            self.corpus = jax.device_put(arr)
+
+        @jax.jit
+        def _gather(corpus, idx):
+            b = corpus[idx]
+            if sharding is not None:
+                b = jax.lax.with_sharding_constraint(b, sharding)
+            return b
+
+        self._gather = _gather
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = int(epoch)
+
+    def __len__(self) -> int:
+        return (self.n // self.batch_size if self.drop_last
+                else -(-self.n // self.batch_size))
+
+    def __iter__(self):
+        import jax.numpy as jnp
+
+        idx = np.arange(self.n)
+        if self.shuffle:
+            np.random.default_rng(self.seed + self._epoch).shuffle(idx)
+        self._epoch += 1
+        nb = self.n // self.batch_size
+        for i in range(nb):
+            sel = idx[i * self.batch_size:(i + 1) * self.batch_size]
+            yield self._gather(self.corpus, jnp.asarray(sel)), None
+        if not self.drop_last and self.n % self.batch_size:
+            sel = idx[nb * self.batch_size:]
+            yield self._gather(self.corpus, jnp.asarray(sel)), None
 
 
 def device_prefetch(iterator, size: int = 2, sharding=None):

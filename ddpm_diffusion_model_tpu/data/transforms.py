@@ -23,11 +23,18 @@ __all__ = [
 
 
 def center_crop(img, size: int):
-    """PIL center crop to (size, size)."""
+    """PIL center crop to at most (size, size).
+
+    Undersized images are clamped to their own extent (the subsequent
+    resize upscales them) rather than padded with black borders — matching
+    the native C++ path (``image_pipeline.cpp center_crop``) so the two
+    decode paths stay pixel-deterministic for the same file.  (torchvision
+    CenterCrop would zero-pad, but never does on real 178x218 CelebA.)"""
     w, h = img.size
-    left = (w - size) // 2
-    top = (h - size) // 2
-    return img.crop((left, top, left + size, top + size))
+    cw, ch = min(size, w), min(size, h)
+    left = (w - cw) // 2
+    top = (h - ch) // 2
+    return img.crop((left, top, left + cw, top + ch))
 
 
 def resize_pil(img, size: Tuple[int, int]):

@@ -28,16 +28,30 @@ _OUT = os.path.join(os.path.dirname(__file__), "_image_pipeline.so")
 
 
 def _build() -> Optional[str]:
-    if os.path.exists(_OUT) and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC):
+    have_out = os.path.exists(_OUT)
+    if not os.path.exists(_SRC):
+        # pruned checkout / installed wheel: a prebuilt .so is usable as-is;
+        # with neither present the PIL fallback must engage, not a crash
+        return _OUT if have_out else None
+    if have_out and os.path.getmtime(_OUT) >= os.path.getmtime(_SRC):
         return _OUT
+    # compile to a per-process temp name and move into place atomically —
+    # concurrent processes (multihost sim) racing on _OUT would otherwise
+    # interleave writes and CDLL a truncated library
+    tmp = f"{_OUT}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _OUT, "-ljpeg", "-lpng",
+        _SRC, "-o", tmp, "-ljpeg", "-lpng",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _OUT)
         return _OUT
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
 
 

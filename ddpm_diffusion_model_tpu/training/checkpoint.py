@@ -40,6 +40,7 @@ __all__ = [
 
 _checkpointer = None
 _pending_finalize: Optional[threading.Thread] = None
+_finalize_error: Optional[BaseException] = None
 
 
 def _get_checkpointer():
@@ -146,10 +147,17 @@ def save_checkpoint(
     path = os.path.abspath(path)
     wait_for_checkpoints()  # drain any in-flight save before starting a new one
     ckptr = _get_checkpointer()
-    if os.path.exists(path):
+    if jax.process_index() == 0 and os.path.exists(path):
+        # only the primary clears an existing directory — concurrent rmtree
+        # of the same shared path races (scandir hits entries the other
+        # process already unlinked)
         import shutil
 
         shutil.rmtree(path)
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(f"ckpt_rm:{path}")
     ckptr.save(path, args=ocp.args.StandardSave(_state_to_saveable(state)))
     meta = {
         "epoch": int(epoch),
@@ -169,7 +177,7 @@ def save_checkpoint(
         _finalize_save(path, meta, mirror_dir, fixed_mirror_name, log)
     else:
         _pending_finalize = threading.Thread(
-            target=_finalize_save,
+            target=_finalize_guarded,
             args=(path, meta, mirror_dir, fixed_mirror_name, log),
             daemon=True,
         )
@@ -177,13 +185,29 @@ def save_checkpoint(
     return path
 
 
+def _finalize_guarded(*args) -> None:
+    """Thread target: stash finalize failures for re-raise on the main
+    thread — a dead daemon thread otherwise turns a failed save (disk
+    full, write error) into a silent success, and resume later restores
+    an older checkpoint with no indication why."""
+    global _finalize_error
+    try:
+        _finalize_save(*args)
+    except BaseException as e:  # noqa: BLE001 — must not vanish with the thread
+        _finalize_error = e
+
+
 def wait_for_checkpoints() -> None:
     """Block until every previously dispatched async save is durable on disk
-    (array dirs renamed, meta sidecars written, mirrors copied)."""
-    global _pending_finalize
+    (array dirs renamed, meta sidecars written, mirrors copied).  Raises if
+    a background finalize failed."""
+    global _pending_finalize, _finalize_error
     if _pending_finalize is not None:
         _pending_finalize.join()
         _pending_finalize = None
+    if _finalize_error is not None:
+        err, _finalize_error = _finalize_error, None
+        raise RuntimeError("async checkpoint finalize failed") from err
     if _checkpointer is not None:
         _checkpointer.wait_until_finished()
 

@@ -43,11 +43,19 @@ from .step import make_eval_step, make_probe_fn, make_train_step
 __all__ = ["train_ddpm", "train_one_epoch"]
 
 
-def _as_batch_array(batch) -> np.ndarray:
+def _as_batch_array(batch):
     """Accept (x, label) tuples (reference loader protocol,
-    ``train_one_epoch.py:61``) or bare arrays; NHWC float32 out."""
+    ``train_one_epoch.py:61``) or bare arrays; NHWC float32 out.
+
+    Device-resident batches (``DeviceCacheLoader``) pass through untouched
+    — ``np.asarray`` on them would pull the data back to the host, undoing
+    the point of the cache."""
     if isinstance(batch, (tuple, list)):
         batch = batch[0]
+    if isinstance(batch, jax.Array):
+        if batch.ndim != 4:
+            raise ValueError(f"expected batched images, got {batch.shape}")
+        return batch
     x = np.asarray(batch, dtype=np.float32)
     if x.ndim != 4:
         raise ValueError(f"expected batched images, got shape {x.shape}")
@@ -429,6 +437,11 @@ def train_ddpm(
     try:
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
+            if hasattr(train_loader, "set_epoch"):
+                # pin the shuffle stream to the ABSOLUTE epoch: a resumed
+                # run then continues the uninterrupted run's batch orders
+                # instead of replaying epochs 0,1,2,... from scratch
+                train_loader.set_epoch(epoch)
             state, avg_loss, n_batches, n_images = train_one_epoch(
                 train_step,
                 state,
@@ -473,11 +486,18 @@ def train_ddpm(
             # validation pass: raw and EMA params on identical (t, noise)
             # draws, so the two (and epochs) compare without MC jitter
             if (eval_fn is not None and not epoch_partial
-                    and epoch % eval_every == 0):
+                    and eval_every > 0 and epoch % eval_every == 0):
+                if hasattr(eval_loader, "set_epoch"):
+                    # both passes must see IDENTICAL batches (the raw-vs-EMA
+                    # contract); a shuffled loader advances its epoch on
+                    # every __iter__, so re-pin it before each pass
+                    eval_loader.set_epoch(epoch)
                 val = evaluate_loss(
                     eval_fn, state.params, eval_loader,
                     batch_sharding=batch_shd, max_batches=eval_max_batches)
                 if np.isfinite(val):
+                    if hasattr(eval_loader, "set_epoch"):
+                        eval_loader.set_epoch(epoch)
                     val_ema = evaluate_loss(
                         eval_fn, state.ema_params, eval_loader,
                         batch_sharding=batch_shd, max_batches=eval_max_batches)
@@ -500,7 +520,7 @@ def train_ddpm(
 
             # sampling hook: EMA-health-gated, fixed seed (main_train_loop.py:183-207)
             # (skipped on a partial epoch: preemption grace time goes to the save)
-            if sample_fn is not None and not epoch_partial and (
+            if sample_fn is not None and not epoch_partial and sample_every > 0 and (
                     epoch % sample_every == 0 or epoch == epochs - 1):
                 out_path = os.path.join(ckpt_dir, f"{run_name}_samples_e{epoch:03d}.png")
                 ok, _, rel = ema_health(state.ema_params, state.params, rel_tol=2.0)

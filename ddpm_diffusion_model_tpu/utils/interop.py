@@ -237,10 +237,18 @@ def import_torch_checkpoint(
     step = int(state_t.get("step", 0) or 0)
     tx = make_optimizer(exp.train)
     fresh, _ = init_train_state(params, exp.train, tx=tx)
+    opt_state = fresh.opt_state
+    if step > 0:
+        # the fresh optimizer's LR-schedule clock starts at 0, which would
+        # re-run the warmup ramp on a checkpoint already past it (while the
+        # metrics' lr column — driven by state.step — reports full LR)
+        from ..training.checkpoint import _fast_forward_schedule_counts
+
+        opt_state = _fast_forward_schedule_counts(opt_state, step)
     state = TrainState(
         step=jnp.asarray(step, jnp.int32),
         params=params,
-        opt_state=fresh.opt_state,
+        opt_state=opt_state,
         ema_params=ema_params,
         ema_decay=jnp.asarray(ema_decay, jnp.float32),
         rng=fresh.rng,
