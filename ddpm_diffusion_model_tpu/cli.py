@@ -104,7 +104,10 @@ def _make_loader(args, exp, with_eval=False):
         if device_cache:
             from .data import DeviceCacheLoader
 
-            return DeviceCacheLoader(arr, exp.batch_size, seed=seed)
+            # quantize: our pipelines produce [-1,1] images, so u8 storage
+            # costs nothing real and quarters the HBM + tunnel upload
+            return DeviceCacheLoader(arr, exp.batch_size, seed=seed,
+                                     quantize=True, progress=True)
         return DataLoader(ArrayDataset(np.asarray(arr)), exp.batch_size,
                           seed=seed, shuffle=True)
 
@@ -144,7 +147,7 @@ def _make_loader(args, exp, with_eval=False):
                     blob_faces_array(_eval_set_size(args, exp),
                                      img_size=exp.img_size,
                                      seed=exp.seed + 777),
-                    exp.batch_size, shuffle=False)
+                    exp.batch_size, shuffle=False, quantize=True)
             else:
                 val_ds = BlobFacesDataset(_eval_set_size(args, exp),
                                           img_size=exp.img_size,

@@ -239,6 +239,25 @@ def main():
     ms = graph_repeat_ms(opt_body_flat, (flat_p, flat_opt, flat_p))
     report("optimizer tail, FLAT vector", ms, "in-graph amortized")
 
+    # flat vector with bf16 first moment (TrainConfig.moment_dtype): -25%
+    # of the optimizer-state HBM traffic; is the tail bandwidth-bound?
+    tcfg_bf = TrainConfig(base_lr=2e-4, warmup_steps=1000, grad_accum_steps=1,
+                          ema_decay=0.9997, flat_optimizer=False,
+                          moment_dtype="bfloat16")
+    tx_bf = make_optimizer(tcfg_bf)
+    opt_bf = tx_bf.init(flat_p)
+
+    def opt_body_flat_bf(c):
+        p, s, e = c
+        g = p * 1e-6 + 1e-4
+        updates, s = tx_bf.update(g, s, p)
+        p = optax.apply_updates(p, updates)
+        e = e * 0.9997 + 0.0003 * p
+        return (p, s, e)
+
+    ms = graph_repeat_ms(opt_body_flat_bf, (flat_p, opt_bf, flat_p))
+    report("optimizer tail, FLAT + bf16 mu", ms, "in-graph amortized")
+
     # unravel cost (flat -> tree, the extra step a flat optimizer pays)
     def unravel_body(c):
         tree = unravel(c)

@@ -178,6 +178,20 @@ def test_device_cache_loader_matches_dataloader():
     np.testing.assert_array_equal(
         np.asarray(next(iter(ds_backed))[0]), arr[:8])
 
+    # quantize=True: u8 storage, on-device dequantize within 1/255 of fp32
+    # — and EXACT for pixels that came from u8 in the first place
+    q = DeviceCacheLoader(arr * 2 - 1, 8, shuffle=False, quantize=True)
+    got = np.asarray(next(iter(q))[0])
+    assert got.dtype == np.float32
+    np.testing.assert_allclose(got, arr[:8] * 2 - 1, atol=1.01 / 255)
+    u8 = np.arange(24 * 4, dtype=np.uint8).reshape(2, 4, 4, 3)
+    exact = u8.astype(np.float32) / 127.5 - 1.0
+    q2 = DeviceCacheLoader(exact, 2, shuffle=False, quantize=True)
+    # u8-sourced pixels round-trip the quantization (to device/host float
+    # op-ordering ulps)
+    np.testing.assert_allclose(np.asarray(next(iter(q2))[0]), exact,
+                               atol=1e-6)
+
 
 def test_device_cache_train_epoch_equivalence():
     """A train epoch fed from the device cache matches one fed from the

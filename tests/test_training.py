@@ -485,6 +485,41 @@ def test_flat_optimizer_checkpoint_roundtrip(setup, tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_moment_dtype_bf16_trains_and_halves_mu(setup):
+    """moment_dtype="bfloat16" stores Adam's mu in bf16 (nu stays fp32) and
+    a short training run stays finite and close to the fp32-moment run."""
+    model, sched, params = setup
+    cfg32 = TrainConfig(base_lr=1e-3, warmup_steps=None)
+    cfgbf = TrainConfig(base_lr=1e-3, warmup_steps=None,
+                        moment_dtype="bfloat16")
+    tx32, txbf = make_optimizer(cfg32), make_optimizer(cfgbf)
+    s32 = tx32.init(params)
+    sbf = txbf.init(params)
+    vecs32 = [l for l in jax.tree.leaves(s32)
+              if hasattr(l, "ndim") and l.ndim == 1 and l.size > 1]
+    vecsbf = [l for l in jax.tree.leaves(sbf)
+              if hasattr(l, "ndim") and l.ndim == 1 and l.size > 1]
+    assert {str(l.dtype) for l in vecs32} == {"float32"}
+    assert sorted(str(l.dtype) for l in vecsbf) == ["bfloat16", "float32"]
+
+    keys = iter(jax.random.split(jax.random.key(11), 100))
+    grads = jax.tree.map(
+        lambda p: jax.random.normal(next(keys), p.shape, p.dtype) * 0.01,
+        params)
+    import optax
+    p32 = pbf = params
+    for _ in range(3):
+        u32, s32 = tx32.update(grads, s32, p32)
+        p32 = optax.apply_updates(p32, u32)
+        ubf, sbf = txbf.update(grads, sbf, pbf)
+        pbf = optax.apply_updates(pbf, ubf)
+    for a, b in zip(jax.tree.leaves(p32), jax.tree.leaves(pbf)):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all()
+        # bf16 mu rounding perturbs updates at ~1e-2 relative, not more
+        np.testing.assert_allclose(a, b, rtol=0, atol=2e-2 * 1e-3)
+
+
 def test_train_config_from_dict_legacy_defaults():
     """Checkpoint metas written before the r2 knobs (legacy=True) restore
     the legacy behaviors; fresh config files get the modern defaults."""
