@@ -58,11 +58,28 @@ def initialize_distributed(**kwargs) -> None:
     try:
         jax.distributed.initialize(**kwargs)
     except (RuntimeError, ValueError) as e:
+        import os
+
         msg = str(e).lower()
+        # "must be called before any JAX calls": the backend already started
+        # (e.g. a library touched jax.devices()).  Benign only for a plain
+        # single-process call with no multi-host intent — with kwargs or a
+        # cluster env hint the user wanted multi-host and raising is the
+        # only honest outcome (late init cannot succeed).
+        cluster_hints = ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                         "SLURM_JOB_ID", "OMPI_COMM_WORLD_SIZE",
+                         "MEGASCALE_COORDINATOR_ADDRESS")
+        # TPU_WORKER_HOSTNAMES counts only when it names >1 host — TPU
+        # plugins set a single-host value on one-chip setups
+        multi_tpu = "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+        late_but_local = ("must be called before" in msg and not kwargs
+                          and not multi_tpu
+                          and not any(v in os.environ for v in cluster_hints))
         benign = ("already initialized" in msg
                   or "is already" in msg
                   or "single process" in msg
-                  or ("coordinator_address" in msg and not kwargs))
+                  or ("coordinator_address" in msg and not kwargs)
+                  or late_but_local)
         if not benign:
             raise
 

@@ -156,9 +156,6 @@ def load_torch_extractor(weights_path: str):
         # not a TorchScript archive -> must be an inception_v3 state_dict.
         # Loading is STRICT: a silently-mismatched extractor would return a
         # random-weight network and a garbage-but-plausible "FID".
-        from torchvision.models import inception_v3
-
-        net = inception_v3(weights=None, aux_logits=True, init_weights=False)
         sd = torch.load(weights_path, map_location="cpu", weights_only=True)
         if not isinstance(sd, dict):
             raise ValueError(
@@ -166,6 +163,26 @@ def load_torch_extractor(weights_path: str):
                 f"state_dict (got {type(sd).__name__})")
         if any(k.startswith("module.") for k in sd):  # DataParallel export
             sd = {k.removeprefix("module."): v for k, v in sd.items()}
+        # structural landmark check BEFORE the torchvision import: rejects
+        # foreign dicts with the same clear error on torchvision-less hosts
+        landmarks = ("Conv2d_1a_3x3.conv.weight",
+                     "Mixed_7c.branch_pool.conv.weight", "fc.weight")
+        absent = [k for k in landmarks if k not in sd]
+        if absent:
+            raise ValueError(
+                f"{weights_path} does not match torchvision inception_v3 "
+                f"(aux_logits=True): missing keys {absent}; refusing to "
+                f"compute FID with a mismatched extractor")
+        try:
+            from torchvision.models import inception_v3
+        except ImportError as e:
+            raise ImportError(
+                "an inception_v3 state_dict extractor needs torchvision to "
+                "rebuild the graph; on torchvision-less hosts export the "
+                "extractor as a TorchScript module (torch.jit.save) instead"
+            ) from e
+
+        net = inception_v3(weights=None, aux_logits=True, init_weights=False)
         try:
             net.load_state_dict(sd, strict=True)
         except RuntimeError as e:
@@ -189,7 +206,8 @@ def load_torch_extractor(weights_path: str):
         x = np.asarray(x01, dtype=np.float32)
         if x.ndim != 4:
             raise ValueError(f"expected (N,H,W,C), got {x.shape}")
-        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)))  # NHWC -> NCHW
+        # .copy(): transpose views can be non-writable; torch warns on those
+        xt = torch.from_numpy(np.transpose(x, (0, 3, 1, 2)).copy())
         outs = []
         with torch.no_grad():
             for i in range(0, len(xt), batch):

@@ -35,6 +35,8 @@ def pytest_sessionstart(session):
     env = dict(os.environ)
     env[_GUARD] = "1"
     env.pop("PALLAS_AXON_POOL_IPS", None)  # disables the TPU plugin registration
+    env.pop("TPU_WORKER_HOSTNAMES", None)  # plugin residue (sitecustomize
+    #                                        setdefault) — not a real cluster
     env["JAX_PLATFORMS"] = "cpu"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:

@@ -21,6 +21,42 @@ def test_initialize_distributed_noop_single_process():
     assert jax.process_count() == 1
 
 
+def test_initialize_distributed_late_init_policy(monkeypatch):
+    """jax raises 'must be called before any JAX calls' when the backend
+    already started.  That is benign ONLY for a plain single-process call;
+    with explicit kwargs or a cluster env hint the failure must propagate
+    (swallowing it would silently duplicate a multi-host workload)."""
+    import pytest
+
+    def late(**kw):
+        raise RuntimeError(
+            "jax.distributed.initialize() must be called before any JAX "
+            "calls that might initialise the XLA backend.")
+
+    monkeypatch.setattr(jax.distributed, "initialize", late)
+    for var in ("SLURM_JOB_ID", "TPU_WORKER_HOSTNAMES",
+                "JAX_COORDINATOR_ADDRESS"):
+        monkeypatch.delenv(var, raising=False)
+
+    initialize_distributed()  # single process, no hints: benign
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    initialize_distributed()  # one-host plugin residue: still benign
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host-0,host-1")
+    with pytest.raises(RuntimeError):
+        initialize_distributed()  # real multi-host hint: propagate
+
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    monkeypatch.setenv("SLURM_JOB_ID", "42")
+    with pytest.raises(RuntimeError):
+        initialize_distributed()
+
+    monkeypatch.delenv("SLURM_JOB_ID")
+    with pytest.raises(RuntimeError):
+        initialize_distributed(coordinator_address="10.0.0.1:1234")
+
+
 def test_shard_hosts_loader_single_process_is_identity():
     arr = np.arange(16, dtype=np.float32).reshape(16, 1, 1, 1)
     ds = ArrayDataset(np.broadcast_to(arr, (16, 2, 2, 3)).copy())
