@@ -242,6 +242,7 @@ def cmd_train(args):
         log_grad_norm=args.probes,
         configs_for_ckpt={"experiment": exp.to_dict()},
         fid_reference=fid_ref,
+        fid_extractor=getattr(args, "fid_extractor", None),
         mesh=mesh, fsdp=(getattr(args, "mesh", "none") == "fsdp"),
         eval_loader=eval_loader,
         eval_every=max(getattr(args, "eval_every", 0), 1),
@@ -486,6 +487,10 @@ def main(argv=None):
     sp.add_argument("--eval-every", type=int, default=0, metavar="N",
                     help="validation loss (raw+EMA) every N epochs (0=off)")
     sp.add_argument("--eval-max-batches", type=int)
+    sp.add_argument("--fid-extractor", metavar="WEIGHTS",
+                    help="mounted feature-extractor file (TorchScript module "
+                         "or inception_v3 state_dict): score TRUE FID next "
+                         "to rFID at every sampling epoch")
     # resume-time overrides (reference parity: main_train_loop.py:69-77)
     sp.add_argument("--reset-optimizer", action="store_true",
                     help="on resume: fresh optimizer state (warmup clock "

@@ -240,6 +240,7 @@ def train_ddpm(
     sample_fn: Optional[Callable] = None,
     sample_seed: Optional[int] = 1234,
     fid_reference: Optional[np.ndarray] = None,
+    fid_extractor: Optional[str] = None,
     # validation hooks (beyond the reference, which builds valid loaders but
     # never evaluates them — load_data_from_torch.py:43-44)
     eval_loader: Optional[Iterable] = None,
@@ -550,6 +551,17 @@ def train_ddpm(
                     score = rfid(ref01, samples)
                     summary["epochs"][-1]["rfid"] = score
                     fid_msg = f" | rFID={score:.3f}"
+                    if fid_extractor:
+                        # true FID via a mounted extractor file (the offline
+                        # hook, utils/fid.py): scored per sampling epoch next
+                        # to rFID so quality curves use the real metric the
+                        # moment weights are available
+                        from ..utils.fid import fid as true_fid
+
+                        fscore = true_fid(ref01, samples,
+                                          extractor_path=fid_extractor)
+                        summary["epochs"][-1]["fid"] = fscore
+                        fid_msg += f" | FID={fscore:.3f}"
                 print(
                     f"└─ [SAMPLE] grid -> {out_path} | EMA_used={use_ema}"
                     f" | rel={rel:.3f}{fid_msg}"

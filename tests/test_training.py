@@ -520,6 +520,46 @@ def test_moment_dtype_bf16_trains_and_halves_mu(setup):
         np.testing.assert_allclose(a, b, rtol=0, atol=2e-2 * 1e-3)
 
 
+def test_fid_extractor_hook_scores_true_fid(setup, tmp_path):
+    """train_ddpm(fid_extractor=...) scores TRUE FID next to rFID at each
+    sampling epoch (the offline north-star hook, utils/fid.py)."""
+    torch = pytest.importorskip("torch")
+    model, sched, params = setup
+
+    class TinyExtractor(torch.nn.Module):
+        def __init__(self):
+            super().__init__()
+            torch.manual_seed(0)
+            self.conv = torch.nn.Conv2d(3, 16, 3, stride=2)
+
+        def forward(self, x):
+            h = torch.nn.functional.leaky_relu(self.conv(x * 2 - 1), 0.2)
+            return torch.cat([h.mean(dim=(2, 3)), h.std(dim=(2, 3))], dim=1)
+
+    ex_path = str(tmp_path / "extractor.pt")
+    torch.jit.save(torch.jit.script(TinyExtractor()), ex_path)
+
+    rng = np.random.default_rng(0)
+    ref = (rng.random((96, RES, RES, 3)).astype(np.float32) * 2 - 1)
+    data = [rng.normal(size=(4, RES, RES, 3)).astype(np.float32) * 0.3]
+
+    def fake_sample(model_, params_, sched_, *, n, img_size, save_path, seed):
+        r = np.random.default_rng(seed or 0)
+        return r.random((n, img_size, img_size, 3)).astype(np.float32)
+
+    cfg = TrainConfig(base_lr=1e-3, warmup_steps=None, grad_accum_steps=1)
+    _, summary = train_ddpm(
+        model, sched, data, train_config=cfg, init_params=params,
+        epochs=1, sample_every=1, sample_n=96, img_size=RES,
+        sample_fn=fake_sample, fid_reference=ref, fid_extractor=ex_path,
+        ckpt_dir=str(tmp_path / "ck"), run_name="fidhook", save_every=10,
+        save_last=False,
+    )
+    ep = summary["epochs"][-1]
+    assert np.isfinite(ep["rfid"]) and np.isfinite(ep["fid"])
+    assert ep["fid"] >= 0.0
+
+
 def test_train_config_from_dict_legacy_defaults():
     """Checkpoint metas written before the r2 knobs (legacy=True) restore
     the legacy behaviors; fresh config files get the modern defaults."""
