@@ -193,6 +193,24 @@ def test_device_cache_loader_matches_dataloader():
                                atol=1e-6)
 
 
+def test_device_cache_loader_sharded_gather():
+    """With a mesh sharding, gathered batches come out batch-sharded over
+    the data axis (ready for a pjit train step with no relayout)."""
+    import jax
+    from ddpm_diffusion_model_tpu.data import DeviceCacheLoader
+    from ddpm_diffusion_model_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh()
+    shd = batch_sharding(mesh)
+    rng = np.random.default_rng(3)
+    arr = rng.random((32, 4, 4, 3)).astype(np.float32) * 2 - 1
+    dl = DeviceCacheLoader(arr, 16, shuffle=False, sharding=shd,
+                           quantize=True)
+    x, _ = next(iter(dl))
+    assert x.sharding.is_equivalent_to(shd, x.ndim)
+    np.testing.assert_allclose(np.asarray(x), arr[:16], atol=1.01 / 255)
+
+
 def test_device_cache_train_epoch_equivalence():
     """A train epoch fed from the device cache matches one fed from the
     host loader bit-for-bit (same shuffle stream, same step math)."""
