@@ -193,6 +193,21 @@ def test_device_cache_loader_matches_dataloader():
                                atol=1e-6)
 
 
+def test_chunked_upload_multi_chunk_equals_whole():
+    """_chunked_upload slices GB-scale corpora into ~chunk_bytes pieces and
+    reassembles on device; a chunk size forcing many slices must reproduce
+    the array exactly (incl. a non-divisible tail)."""
+    from ddpm_diffusion_model_tpu.data.loader import _chunked_upload
+
+    rng = np.random.default_rng(9)
+    arr = rng.random((13, 4, 4, 3)).astype(np.float32)
+    per_item = int(np.prod(arr.shape[1:])) * arr.dtype.itemsize
+    out = _chunked_upload(arr, None, chunk_bytes=3 * per_item)  # 5 chunks
+    np.testing.assert_array_equal(np.asarray(out), arr)
+    one = _chunked_upload(arr, None)  # single-put fast path
+    np.testing.assert_array_equal(np.asarray(one), arr)
+
+
 def test_device_cache_loader_sharded_gather():
     """With a mesh sharding, gathered batches come out batch-sharded over
     the data axis (ready for a pjit train step with no relayout)."""
