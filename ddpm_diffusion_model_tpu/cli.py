@@ -111,6 +111,17 @@ def _make_loader(args, exp, with_eval=False):
         return DataLoader(ArrayDataset(np.asarray(arr)), exp.batch_size,
                           seed=seed, shuffle=True)
 
+    def _maybe_device_cache(loader):
+        """Decode-per-item sources (zip/hf/celeba): decode the corpus once,
+        pin it in HBM as uint8, and gather batches on device."""
+        if not device_cache or loader is None:
+            return loader
+        from .data import DeviceCacheLoader, materialize_corpus
+
+        arr = materialize_corpus(loader, progress=True)
+        return DeviceCacheLoader(arr, exp.batch_size, seed=exp.seed,
+                                 quantize=True, progress=True)
+
     if args.data == "synthetic":
         train = _train_loader_from_array(
             _synthetic_array(exp, args.synthetic_size, exp.seed), exp.seed)
@@ -159,21 +170,21 @@ def _make_loader(args, exp, with_eval=False):
             raise SystemExit("error: --data zip requires --zip-path <file.zip>")
         if not os.path.exists(args.zip_path):
             raise SystemExit(f"error: zip not found: {args.zip_path}")
-        return get_celeba_loader_from_zip(
+        return _maybe_device_cache(get_celeba_loader_from_zip(
             args.zip_path, img_size=exp.img_size, batch_size=exp.batch_size,
             seed=exp.seed,
             crop=None if getattr(args, "no_crop", False) else 178,
-        ), None
+        )), None
     if args.data == "hf":
-        return build_hf_image_loader(
+        return _maybe_device_cache(build_hf_image_loader(
             img_size=exp.img_size, batch_size=exp.batch_size, seed=exp.seed
-        ), None
+        )), None
     if args.data == "celeba":
         train, va, _te = get_celeba_loaders(
             data_dir=args.data_dir, img_size=exp.img_size,
             batch_size=exp.batch_size, seed=exp.seed,
         )
-        return train, va if with_eval else None
+        return _maybe_device_cache(train), va if with_eval else None
     raise ValueError(args.data)
 
 
@@ -467,11 +478,12 @@ def main(argv=None):
                     help="blobs: render the whole corpus to RAM up front "
                          "(feeds the chip at full training rate)")
     sp.add_argument("--device-cache", action="store_true",
-                    help="blobs/synthetic: pin the corpus in device HBM and "
+                    help="pin the training corpus in device HBM (uint8) and "
                          "gather batches on device — removes per-step "
                          "host->device traffic (essential on slow-link "
-                         "hosts; costs corpus_bytes of HBM). Implies "
-                         "--preload for blobs.")
+                         "hosts; costs corpus_bytes/4 of HBM). zip/hf/"
+                         "celeba decode the whole corpus once up front; "
+                         "implies --preload for blobs.")
     sp.add_argument("--epochs", type=int)
     sp.add_argument("--max-batches", type=int)
     sp.add_argument("--ckpt-dir", default="checkpoints")

@@ -6,7 +6,12 @@ from .datasets import (  # noqa: F401
     SubsetDataset,
     ensure_extracted,
 )
-from .loader import DataLoader, DeviceCacheLoader, device_prefetch  # noqa: F401
+from .loader import (  # noqa: F401
+    DataLoader,
+    DeviceCacheLoader,
+    device_prefetch,
+    materialize_corpus,
+)
 from .celeba import (  # noqa: F401
     build_hf_image_loader,
     create_subset_dataloader,

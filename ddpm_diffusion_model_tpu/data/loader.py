@@ -21,7 +21,8 @@ from typing import Iterator, Optional, Tuple
 
 import numpy as np
 
-__all__ = ["DataLoader", "DeviceCacheLoader", "device_prefetch"]
+__all__ = ["DataLoader", "DeviceCacheLoader", "device_prefetch",
+           "materialize_corpus"]
 
 
 class _ProducerError:
@@ -138,6 +139,37 @@ class DataLoader:
                     out_q.get_nowait()
                 except queue.Empty:
                     break
+
+
+def materialize_corpus(dataset_or_loader, *, batch_size: int = 256,
+                       num_workers: int = 8,
+                       progress: bool = False) -> np.ndarray:
+    """Decode a whole dataset into ONE (N, H, W, C) float32 array.
+
+    The bridge from a decode-per-item source (zip / HF / torchvision
+    datasets) to :class:`DeviceCacheLoader`: pay the threaded decode once,
+    then epochs are on-device gathers.  Transient host RAM is
+    ``N*H*W*C*4`` bytes (a uint8-quantized device cache then releases it).
+    Corrupt-image tolerance is the dataset's own (``on_corrupt``).
+    """
+    import time as _time
+
+    ds = getattr(dataset_or_loader, "dataset", dataset_or_loader)
+    dl = DataLoader(ds, batch_size, shuffle=False, drop_last=False,
+                    num_workers=num_workers)
+    parts = []
+    seen, total = 0, len(ds)
+    t0 = _time.perf_counter()
+    last = t0
+    for x, _ in dl:
+        parts.append(np.asarray(x, np.float32))
+        seen += len(parts[-1])
+        now = _time.perf_counter()
+        if progress and (now - last > 10 or seen == total):
+            last = now
+            print(f"[CORPUS] decoded {seen}/{total}"
+                  f" ({seen / max(now - t0, 1e-9):.0f} imgs/s)", flush=True)
+    return np.concatenate(parts, axis=0)
 
 
 def _chunked_upload(arr: np.ndarray, sharding=None, *,

@@ -106,6 +106,39 @@ def test_zip_loader_end_to_end(img_root, tmp_path):
     ensure_extracted(zp, str(tmp_path / "ex"))
 
 
+def test_materialize_corpus_bridges_zip_to_device_cache(img_root, tmp_path):
+    """materialize_corpus decodes a decode-per-item source into one array
+    (matching an unshuffled pass) so zip/hf corpora can ride the device
+    cache (CLI --device-cache on real data)."""
+    from ddpm_diffusion_model_tpu.data import (
+        DeviceCacheLoader,
+        materialize_corpus,
+    )
+
+    zp = str(tmp_path / "celeba.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        for dp, _dn, files in os.walk(img_root):
+            for fn in files:
+                if fn.endswith(".jpg"):
+                    full = os.path.join(dp, fn)
+                    zf.write(full, os.path.relpath(full, img_root))
+    loader = get_celeba_loader_from_zip(
+        zp, extract_dir=str(tmp_path / "ex"), img_size=32, batch_size=4,
+        num_workers=2,
+    )
+    arr = materialize_corpus(loader, batch_size=3, num_workers=2)
+    assert arr.shape == (len(loader.dataset), 32, 32, 3)
+    assert arr.dtype == np.float32
+
+    manual = np.concatenate([
+        loader.dataset[i][0][None] for i in range(len(loader.dataset))])
+    np.testing.assert_allclose(arr, manual, atol=1e-6)
+
+    dev = DeviceCacheLoader(arr, 4, shuffle=False, quantize=True)
+    x, _ = next(iter(dev))
+    np.testing.assert_allclose(np.asarray(x), arr[:4], atol=1.01 / 255)
+
+
 def test_subset_seeded_and_capped():
     data = np.arange(50, dtype=np.float32).reshape(50, 1, 1, 1)
     ds = ArrayDataset(np.broadcast_to(data, (50, 4, 4, 3)).copy())
