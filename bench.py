@@ -61,14 +61,25 @@ def bench_sampling(args):
     reps = max(1, args.sample_reps)
     results = {}
 
+    # Timed loops sync with jax.block_until_ready (device completion), not
+    # np.asarray: a host fetch of the grid over this machine's TPU tunnel
+    # costs hundreds of ms, which is harness transport, not sampler work.
+    # The r3 rows fetched per rep — DDPM amortized that over its 21.5 s
+    # window (2%) but the 1.6-2.7 s DDIM windows ate 10-25%, which is where
+    # most of the "DDIM MFU gap" in docs/BENCH.md came from.  One np.asarray
+    # after each timed region still round-trips the pixels for a finiteness
+    # check; --fetch-per-rep reproduces the old fetch-included numbers.
+    sync = np.asarray if args.fetch_per_rep else jax.block_until_ready
+
     if args.sampler in ("ddpm", "both"):
         key = jax.random.key(1)
         x, _ = _ddpm_jit(model, params, sched, key, shape, None, None)  # compile
         np.asarray(x)  # true sync
         t0 = time.perf_counter()
         x, _ = _ddpm_jit(model, params, sched, jax.random.key(2), shape, None, None)
-        np.asarray(x)
+        sync(x)
         results["ddpm1000_samples_per_s"] = n / (time.perf_counter() - t0)
+        assert np.isfinite(np.asarray(x)).all()
 
     if args.sampler in ("ddim", "both"):
         ts = tuple(int(t) for t in build_ddim_schedule("t_linear", 50, 1000))
@@ -77,8 +88,24 @@ def bench_sampling(args):
         t0 = time.perf_counter()
         for _ in range(reps):
             x, _ = _ddim_jit(model, params, sched, jax.random.key(4), shape, ts, 0.0, None)
-            np.asarray(x)
+            sync(x)
         results["ddim50_samples_per_s"] = reps * n / (time.perf_counter() - t0)
+        assert np.isfinite(np.asarray(x)).all()
+
+    if args.sampler in ("dpmpp", "both"):
+        # DPM-Solver++(2M), 20 steps — DDIM-50-quality grids at 2.5x fewer
+        # model evals (sampling/solvers.py)
+        from ddpm_diffusion_model_tpu.sampling.inference import _dpmpp_jit
+
+        ts = tuple(int(t) for t in build_ddim_schedule("t_linear", 20, 1000))
+        x = _dpmpp_jit(model, params, sched, jax.random.key(7), shape, ts)
+        np.asarray(x)  # true sync
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            x = _dpmpp_jit(model, params, sched, jax.random.key(8), shape, ts)
+            sync(x)
+        results["dpmpp20_samples_per_s"] = reps * n / (time.perf_counter() - t0)
+        assert np.isfinite(np.asarray(x)).all()
 
     if args.sampler in ("fast", "both"):
         # encoder-cached DDIM-50 (sampling/fast.py), refresh every 2nd step
@@ -92,8 +119,9 @@ def bench_sampling(args):
         for _ in range(reps):
             x = _ddim_cached_jit(model, params, sched, jax.random.key(6),
                                  shape, ts, 0.0, 2)
-            np.asarray(x)
+            sync(x)
         results["ddim50_cached_samples_per_s"] = reps * n / (time.perf_counter() - t0)
+        assert np.isfinite(np.asarray(x)).all()
 
     from ddpm_diffusion_model_tpu.utils.flops import mfu, sampling_flops
 
@@ -103,7 +131,8 @@ def bench_sampling(args):
         # honest MFU for the fixed-step samplers (the cached sampler skips
         # encoder work on reuse steps, so its analytic FLOPs differ)
         steps = {"ddpm1000_samples_per_s": 1000,
-                 "ddim50_samples_per_s": 50}.get(k)
+                 "ddim50_samples_per_s": 50,
+                 "dpmpp20_samples_per_s": 20}.get(k)
         if steps is not None:
             per_img_flops = sampling_flops(mcfg, 1, steps)
             row["mfu_v5e"] = round(mfu(int(v * per_img_flops), 1.0), 3)
@@ -115,8 +144,12 @@ def main():
     ap.add_argument("--config", default="attn", choices=list(BASELINES))
     ap.add_argument("--mode", default="train", choices=["train", "sample"])
     ap.add_argument("--sampler", default="both",
-                    choices=["ddpm", "ddim", "fast", "both"])
+                    choices=["ddpm", "ddim", "dpmpp", "fast", "both"])
     ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--fetch-per-rep", action="store_true",
+                    help="--mode sample: include a host fetch of the grid in "
+                         "every timed rep (pre-r3c methodology; measures the "
+                         "tunnel transport on this machine, not the sampler)")
     ap.add_argument("--sample-reps", type=int, default=3,
                     help="timed repetitions per sampler in --mode sample")
     ap.add_argument("--warmup", type=int, default=3)

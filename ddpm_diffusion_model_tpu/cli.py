@@ -342,6 +342,20 @@ def cmd_sample_ddim(args):
     print(f"[INFER-DDIM] grid -> {args.out} (steps={args.steps}, eta={args.eta})")
 
 
+def cmd_sample_dpmpp(args):
+    from .sampling import dpmpp_infer_sample
+
+    exp = _exp_from_args(args)
+    model, sched, state, _ = _load_state(args.ckpt, exp)
+    dpmpp_infer_sample(
+        model, state.params, sched, n=args.n, img_size=exp.img_size,
+        ema_params=state.ema_params if args.ema else None,
+        out_path=args.out, seed=args.seed, steps=args.steps,
+        schedule_kind=args.schedule, save_individual=args.individual,
+    )
+    print(f"[INFER-DPM++] grid -> {args.out} (steps={args.steps})")
+
+
 def cmd_strip(args):
     from .sampling import render_denoise_strip, render_denoise_strip_ddim
 
@@ -543,6 +557,19 @@ def main(argv=None):
                          "features every K steps, decoder-only between "
                          "(0/1 = full model every step)")
     sp.set_defaults(fn=cmd_sample_ddim)
+
+    sp = sub.add_parser(
+        "sample-dpmpp",
+        help="DPM-Solver++(2M) grid: DDIM-50 quality in ~20 steps "
+             "(sampling/solvers.py, beyond the reference's sampler pair)")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--n", type=int, default=36)
+    sp.add_argument("--steps", type=int, default=20)
+    sp.add_argument("--schedule", default="t_linear",
+                    choices=["t_linear", "alpha_bar_cosine", "cosine", "karras"])
+    sp.add_argument("--out", default="samples_dpmpp.png")
+    sp.add_argument("--individual", action="store_true")
+    sp.set_defaults(fn=cmd_sample_dpmpp)
 
     sp = sub.add_parser("strip")
     common(sp, ckpt_required=True)

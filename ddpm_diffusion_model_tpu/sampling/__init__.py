@@ -5,8 +5,10 @@ from .inference import (  # noqa: F401
     ddim_sample,
     ddpm_infer_sample,
     ddpm_sample,
+    dpmpp_infer_sample,
     render_denoise_strip,
     render_denoise_strip_ddim,
 )
+from .solvers import dpmpp2m_coefficients, dpmpp2m_sample_loop  # noqa: F401
 from .fast import ddim_sample_fast, ddim_sample_loop_cached  # noqa: F401
 from .distributed import sample_grid_sharded  # noqa: F401

@@ -29,6 +29,7 @@ from ..models.unet import UNetDenoiser
 from ..ops.schedules import DiffusionSchedule
 from ..utils.images import make_grid, save_image, save_image_grid
 from .loops import ddim_sample_loop, ddpm_sample_loop, to_unit_interval
+from .solvers import dpmpp2m_sample_loop
 from .timesteps import build_ddim_schedule
 
 __all__ = [
@@ -36,6 +37,7 @@ __all__ = [
     "ddim_sample",
     "ddpm_infer_sample",
     "ddim_infer_sample",
+    "dpmpp_infer_sample",
     "render_denoise_strip",
     "render_denoise_strip_ddim",
 ]
@@ -64,6 +66,19 @@ def _ddim_jit(model, params, sched, key, shape, timesteps, eta, capture_steps):
         sched, eps_fn, x, k_loop,
         timesteps=np.asarray(timesteps, dtype=np.int32),
         eta=eta, clip_x0=True, capture_steps=capture_steps,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("model", "shape", "timesteps"))
+def _dpmpp_jit(model, params, sched, key, shape, timesteps):
+    # deterministic solver, but split like _ddim_jit so the same seed draws
+    # the same init noise across samplers (cross-sampler comparisons)
+    k_init, _ = jax.random.split(key)
+    x = jax.random.normal(k_init, shape, dtype=jnp.float32)
+    eps_fn = lambda xt, t: model.apply(params, xt, t)
+    return dpmpp2m_sample_loop(
+        sched, eps_fn, x,
+        timesteps=np.asarray(timesteps, dtype=np.int32), clip_x0=True,
     )
 
 
@@ -202,6 +217,40 @@ def ddim_infer_sample(
         model, p, sched, jax.random.key(0 if seed is None else seed),
         (n, img_size, img_size, model.config.in_channels),
         tuple(int(t) for t in ts), eta, None,
+    )
+    x01 = np.asarray(to_unit_interval(x))
+    return _save_outputs(x01, out_path, save_individual, out_dir)
+
+
+def dpmpp_infer_sample(
+    model: UNetDenoiser,
+    params,
+    sched: DiffusionSchedule,
+    n: int = 36,
+    img_size: int = 64,
+    *,
+    ema_params=None,
+    out_path: str = "samples_dpmpp.png",
+    save_individual: bool = False,
+    out_dir: str = "samples_individual",
+    seed: Optional[int] = 1234,
+    steps: int = 20,
+    schedule_kind: str = "t_linear",
+    schedule_idx: Optional[Sequence[int]] = None,
+):
+    """DPM-Solver++(2M) grid inference — the fast deterministic sampler
+    (beyond the reference's DDPM/DDIM pair; see ``solvers.py``).  Same grid/
+    save semantics as ``ddim_infer_sample``; ~20 steps matches DDIM-50."""
+    p = ema_params if ema_params is not None else params
+    ts = build_ddim_schedule(
+        schedule_kind, steps, sched.T,
+        alphas_cumprod=np.asarray(sched.alphas_cumprod),
+        explicit=schedule_idx,
+    )
+    x = _dpmpp_jit(
+        model, p, sched, jax.random.key(0 if seed is None else seed),
+        (n, img_size, img_size, model.config.in_channels),
+        tuple(int(t) for t in ts),
     )
     x01 = np.asarray(to_unit_interval(x))
     return _save_outputs(x01, out_path, save_individual, out_dir)

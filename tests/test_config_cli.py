@@ -95,6 +95,13 @@ def test_cli_train_and_sample_roundtrip(tmp_path, capsys, monkeypatch):
     ])
     assert os.path.exists(png)
 
+    png2 = str(tmp_path / "s_dpmpp.png")
+    main([
+        "sample-dpmpp", "--config", cfg_path, "--ckpt", last, "--n", "4",
+        "--steps", "5", "--out", png2, "--ema",
+    ])
+    assert os.path.exists(png2)
+
 
 def test_cli_train_mesh_and_sharded_sampling(tmp_path, capsys):
     """`train --mesh dp` runs DP over the 8-device CPU mesh with the epoch
