@@ -347,6 +347,20 @@ def cmd_sample_dpmpp(args):
 
     exp = _exp_from_args(args)
     model, sched, state, _ = _load_state(args.ckpt, exp)
+    if getattr(args, "sharded", False):
+        from .parallel import make_mesh
+        from .sampling import sample_grid_sharded
+
+        mesh = make_mesh()
+        sample_grid_sharded(
+            model, state.params, sched, mesh, kind="dpmpp", n=args.n,
+            img_size=exp.img_size, seed=args.seed, steps=args.steps,
+            schedule_kind=args.schedule, save_path=args.out,
+            ema_params=state.ema_params if args.ema else None,
+        )
+        print(f"[INFER-DPM++] grid -> {args.out} (steps={args.steps},"
+              f" sharded x{mesh.devices.size})")
+        return
     dpmpp_infer_sample(
         model, state.params, sched, n=args.n, img_size=exp.img_size,
         ema_params=state.ema_params if args.ema else None,
@@ -569,6 +583,8 @@ def main(argv=None):
                     choices=["t_linear", "alpha_bar_cosine", "cosine", "karras"])
     sp.add_argument("--out", default="samples_dpmpp.png")
     sp.add_argument("--individual", action="store_true")
+    sp.add_argument("--sharded", action="store_true",
+                    help="shard the batch over all devices (SPMD sampling)")
     sp.set_defaults(fn=cmd_sample_dpmpp)
 
     sp = sub.add_parser("strip")

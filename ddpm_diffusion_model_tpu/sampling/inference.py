@@ -83,6 +83,17 @@ def _dpmpp_jit(model, params, sched, key, shape, timesteps):
 
 
 @functools.partial(jax.jit, static_argnames=("model", "timesteps"))
+def _dpmpp_from_init_jit(model, params, sched, x_init, timesteps):
+    """DPM-Solver++(2M) scan from EXPLICIT init noise — the serving
+    coalescer's solver kernel (deterministic, like DDIM eta=0)."""
+    eps_fn = lambda xt, t: model.apply(params, xt, t)
+    return dpmpp2m_sample_loop(
+        sched, eps_fn, x_init,
+        timesteps=np.asarray(timesteps, dtype=np.int32), clip_x0=True,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("model", "timesteps"))
 def _ddim_from_init_jit(model, params, sched, x_init, timesteps):
     """Deterministic (eta=0) DDIM scan from EXPLICIT init noise — the
     kernel behind the serving coalescer, which concatenates per-request

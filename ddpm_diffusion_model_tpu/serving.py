@@ -8,7 +8,7 @@ which is the right behavior for one accelerator.
 
     python -m ddpm_diffusion_model_tpu.serving --ckpt ck/run_last --port 8000
     GET /healthz                 -> {"status": "ok", ...}
-    GET /sample?n=4&steps=50&eta=0.0&seed=7&format=png|npy
+    GET /sample?n=4&steps=50&eta=0.0&seed=7&format=png|npy&sampler=ddim|dpmpp
     GET /metrics                 -> request/sample/error counters + p50/p95
 """
 
@@ -136,7 +136,8 @@ class SamplerService:
     MAX_N = 64
 
     def sample(self, n: int = 4, steps: int = 50, eta: float = 0.0,
-               seed: int = 0, schedule_kind: str = "t_linear"):
+               seed: int = 0, schedule_kind: str = "t_linear",
+               sampler: str = "ddim"):
         """Returns ``(images, used)``: (n, H, W, C) float [0,1] plus a dict
         of the parameters ACTUALLY used after bucketing (``n``, ``steps``),
         so callers can see when their request was snapped.  Thread-safe;
@@ -149,14 +150,20 @@ class SamplerService:
         per-seed determinism is independent of what it was batched with."""
         import time
 
+        if sampler not in ("ddim", "dpmpp"):
+            raise ValueError(f"sampler must be 'ddim'|'dpmpp', got {sampler!r}")
+        if sampler == "dpmpp":
+            eta = 0.0  # the solver is deterministic; always coalescible
         n = max(1, min(int(n), self.MAX_N))
         steps = min(self.STEP_CHOICES, key=lambda s: abs(s - int(steps)))
         used = {"n": int(n), "steps": int(steps), "eta": float(eta),
-                "seed": int(seed), "schedule": schedule_kind}
+                "seed": int(seed), "schedule": schedule_kind,
+                "sampler": sampler}
 
         t0 = time.perf_counter()
         if eta == 0.0:
-            out = self._sample_coalesced(n, steps, schedule_kind, seed)
+            out = self._sample_coalesced(n, steps, schedule_kind, seed,
+                                         sampler)
         else:
             out = self._sample_direct(n, steps, eta, schedule_kind, seed)
         with self._stats_lock:
@@ -189,7 +196,8 @@ class SamplerService:
             )
         return np.asarray(to_unit_interval(x[:n]))
 
-    def _sample_coalesced(self, n, steps, schedule_kind, seed):
+    def _sample_coalesced(self, n, steps, schedule_kind, seed,
+                          sampler="ddim"):
         """Enqueue; the first thread on an empty queue becomes the leader,
         waits COALESCE_WINDOW_S for company, then takes over the WHOLE queue
         in one atomic grab and serves it in <= MAX_N chunks.  Requests
@@ -200,7 +208,7 @@ class SamplerService:
 
         req = {"n": n, "seed": seed, "event": threading.Event(),
                "out": None, "err": None}
-        key = (steps, schedule_kind)
+        key = (sampler, steps, schedule_kind)
         with self._q_lock:
             q = self._queues.setdefault(key, [])
             q.append(req)
@@ -217,7 +225,8 @@ class SamplerService:
                 if not batch:            # oversize safety (n <= MAX_N holds)
                     batch = [taken.pop(0)]
                 try:
-                    outs = self._run_eta0_batch(batch, steps, schedule_kind)
+                    outs = self._run_eta0_batch(batch, steps, schedule_kind,
+                                                sampler)
                     for r, o in zip(batch, outs):
                         r["out"] = o
                 except Exception as e:  # noqa: BLE001 — deliver to waiters
@@ -234,10 +243,10 @@ class SamplerService:
                 f"coalesced sample failed: {req['err']!r}") from req["err"]
         return req["out"]
 
-    def _run_eta0_batch(self, batch, steps, schedule_kind):
-        """ONE deterministic DDIM scan over the concatenated per-request
-        init noise; total padded to the next power of two so the compile
-        cache stays bounded.
+    def _run_eta0_batch(self, batch, steps, schedule_kind, sampler="ddim"):
+        """ONE deterministic scan (DDIM eta=0 or DPM-Solver++(2M)) over the
+        concatenated per-request init noise; total padded to the next power
+        of two so the compile cache stays bounded.
 
         Each request's rows are ``normal(split(key(seed))[0], (n, ...))`` —
         the SAME seed-to-image mapping as the un-coalesced ``_ddim_jit``
@@ -247,9 +256,14 @@ class SamplerService:
         import jax
         import jax.numpy as jnp
 
-        from .sampling.inference import _ddim_from_init_jit
+        from .sampling.inference import (
+            _ddim_from_init_jit, _dpmpp_from_init_jit,
+        )
         from .sampling.loops import to_unit_interval
         from .sampling.timesteps import build_ddim_schedule
+
+        kernel = (_dpmpp_from_init_jit if sampler == "dpmpp"
+                  else _ddim_from_init_jit)
 
         ts = tuple(int(t) for t in build_ddim_schedule(
             schedule_kind, steps, self.sched.T,
@@ -280,8 +294,7 @@ class SamplerService:
 
             x_init = jax.device_put(x_init, batch_sharding(self.mesh))
         with self._lock:
-            x = _ddim_from_init_jit(self.model, self.params, self.sched,
-                                    x_init, ts)
+            x = kernel(self.model, self.params, self.sched, x_init, ts)
         # slice the padding off ON DEVICE before the host fetch
         x01 = np.asarray(to_unit_interval(x[:total]))
         with self._stats_lock:
@@ -336,12 +349,15 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                 seed = int(q.get("seed", 0))
                 fmt = q.get("format", "png")
                 kind = q.get("schedule", "t_linear")
+                sampler = q.get("sampler", "ddim")
+                if sampler not in ("ddim", "dpmpp"):
+                    raise ValueError(f"sampler must be ddim|dpmpp, got {sampler}")
             except ValueError as e:
                 self._json(400, {"error": f"bad parameter: {e}"})
                 return
             try:
                 x, used = service.sample(n=n, steps=steps, eta=eta, seed=seed,
-                                         schedule_kind=kind)
+                                         schedule_kind=kind, sampler=sampler)
             except Exception as e:  # surface sampler errors as 500s
                 service.record_error()
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})

@@ -50,6 +50,22 @@ def test_sharded_ddim_matches_single_device(setup):
         x_sharded, np.asarray(to_unit_interval(x_single)), atol=2e-5)
 
 
+def test_sharded_dpmpp_matches_single_device(setup):
+    model, sched, params = setup
+    mesh = make_mesh()
+    x_sharded = sample_grid_sharded(
+        model, params, sched, mesh, kind="dpmpp", n=16, img_size=RES,
+        seed=7, steps=5,
+    )
+    from ddpm_diffusion_model_tpu.sampling.inference import _dpmpp_jit
+
+    ts = tuple(int(t) for t in build_ddim_schedule("t_linear", 5, T))
+    x_single = _dpmpp_jit(
+        model, params, sched, jax.random.key(7), (16, RES, RES, 3), ts)
+    np.testing.assert_allclose(
+        x_sharded, np.asarray(to_unit_interval(x_single)), atol=2e-5)
+
+
 def test_sharded_ddpm_matches_single_device(setup):
     model, sched, params = setup
     mesh = make_mesh()

@@ -286,6 +286,43 @@ def test_coalesced_seed_mapping_matches_library_sampler(server):
     np.testing.assert_allclose(served, lib, atol=1e-5)
 
 
+def test_dpmpp_sampler_param(server):
+    """sampler=dpmpp routes through the solver kernel: deterministic per
+    seed, different from the DDIM image at the same seed/ladder, and the
+    seed-to-image mapping matches the library's _dpmpp_jit."""
+    from ddpm_diffusion_model_tpu.sampling.inference import _dpmpp_jit
+    from ddpm_diffusion_model_tpu.sampling.loops import to_unit_interval
+    from ddpm_diffusion_model_tpu.sampling.timesteps import build_ddim_schedule
+
+    _c, _t, b1 = _get(server + "/sample?n=2&steps=5&seed=5&format=npy&sampler=dpmpp")
+    x1 = np.load(io.BytesIO(b1))
+    assert x1.shape == (2, RES, RES, 3)
+    _c, _t, b2 = _get(server + "/sample?n=2&steps=5&seed=5&format=npy&sampler=dpmpp")
+    np.testing.assert_array_equal(x1, np.load(io.BytesIO(b2)))
+    _c, _t, b3 = _get(server + "/sample?n=2&steps=5&seed=5&format=npy&sampler=ddim")
+    assert np.abs(x1 - np.load(io.BytesIO(b3))).max() > 1e-6
+
+    cfg = UNetConfig(
+        base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+        attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+        img_resolution=RES,
+    )
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    sched = make_schedule(DiffusionConfig(T=20, img_size=RES))
+    params = model.init(jax.random.key(0), jnp.ones((1, RES, RES, 3)),
+                        jnp.zeros((1,)))
+    ts = tuple(int(t) for t in build_ddim_schedule("t_linear", 5, 20))
+    lib = np.asarray(to_unit_interval(
+        _dpmpp_jit(model, params, sched, jax.random.key(5),
+                   (2, RES, RES, 3), ts)))
+    np.testing.assert_allclose(x1, lib, atol=1e-5)
+
+    import urllib.error
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _get(server + "/sample?n=2&sampler=bogus")
+    assert ei.value.code == 400
+
+
 def test_mesh_sharded_service_matches_single_device():
     """Mesh-aware serving (VERDICT r2 weak #6): on the 8-device CPU mesh the
     service shards coalesced eta=0 batches over all chips; outputs must be
