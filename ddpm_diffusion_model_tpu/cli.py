@@ -469,6 +469,19 @@ def cmd_import_torch(args):
     print(json.dumps({"out": path, **info}))
 
 
+def cmd_export_torch(args):
+    """The migration off-ramp: render an Orbax TrainState checkpoint as a
+    reference-format torch file (model + EMA shadow + step; see
+    utils/interop.py export_torch_checkpoint) so a model trained here loads
+    straight into the reference's load_ckpt (chekpoints.py:16-25)."""
+    from .utils.interop import export_torch_checkpoint
+
+    exp = _exp_from_args(args)
+    _model, _sched, state, _meta = _load_state(args.ckpt, exp)
+    path, info = export_torch_checkpoint(state, exp, args.out)
+    print(json.dumps({"out": path, **info}))
+
+
 def cmd_info(args):
     exp = _exp_from_args(args)
     print(exp.to_json())
@@ -623,6 +636,18 @@ def main(argv=None):
                     help="fail if the file has no EMA shadow (default: fall "
                          "back to raw weights)")
     sp.set_defaults(fn=cmd_import_torch)
+
+    sp = sub.add_parser(
+        "export-torch",
+        help="convert an Orbax checkpoint into a reference-format torch "
+             "checkpoint (model + EMA shadow + step) loadable by the "
+             "reference's load_ckpt")
+    common(sp)
+    sp.add_argument("--ckpt", required=True,
+                    help="Orbax checkpoint directory to export")
+    sp.add_argument("--out", required=True,
+                    help="output .pt file path")
+    sp.set_defaults(fn=cmd_export_torch)
 
     sp = sub.add_parser("info")
     common(sp)

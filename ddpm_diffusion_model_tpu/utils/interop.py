@@ -39,6 +39,9 @@ __all__ = [
     "ema_shadow_to_flax",
     "load_reference_checkpoint",
     "import_torch_checkpoint",
+    "reference_param_entries",
+    "flax_to_state_dict",
+    "export_torch_checkpoint",
 ]
 
 # GroupNorm module names across the architecture: their torch "weight" is a
@@ -272,3 +275,187 @@ def import_torch_checkpoint(
         "ema_decay": ema_decay,
     }
     return path, info
+
+
+# --------------------------------------------------------------------------
+# flax -> torch (the off-ramp): export a TrainState back into the exact
+# reference checkpoint format, so a model trained/fine-tuned here loads into
+# the reference's ``load_ckpt`` (chekpoints.py:16-25) without modification.
+# --------------------------------------------------------------------------
+
+
+def _res_entries(prefix: str, tag: str, module: Dict[str, Any]):
+    """Ordered (torch_key, flax_path) pairs of one ResBlock, in the
+    reference's registration order (``unet_backbone.py:20-35``: norm1,
+    conv1, time_proj[Sequential -> .1], norm2, conv2, skip-if-present)."""
+    out = [
+        (f"{prefix}.norm1.weight", (tag, "norm1", "scale")),
+        (f"{prefix}.norm1.bias", (tag, "norm1", "bias")),
+        (f"{prefix}.conv1.weight", (tag, "conv1", "kernel")),
+        (f"{prefix}.conv1.bias", (tag, "conv1", "bias")),
+        (f"{prefix}.time_proj.1.weight", (tag, "time_proj", "kernel")),
+        (f"{prefix}.time_proj.1.bias", (tag, "time_proj", "bias")),
+        (f"{prefix}.norm2.weight", (tag, "norm2", "scale")),
+        (f"{prefix}.norm2.bias", (tag, "norm2", "bias")),
+        (f"{prefix}.conv2.weight", (tag, "conv2", "kernel")),
+        (f"{prefix}.conv2.bias", (tag, "conv2", "bias")),
+    ]
+    if "skip" in module:  # 1x1 conv iff in_ch != out_ch (else nn.Identity)
+        out += [
+            (f"{prefix}.skip.weight", (tag, "skip", "kernel")),
+            (f"{prefix}.skip.bias", (tag, "skip", "bias")),
+        ]
+    return out
+
+
+def _attn_entries(prefix: str, tag: str):
+    """AttnBlock order (``attention.py:52-54``): norm, qkv (bias=False),
+    proj."""
+    return [
+        (f"{prefix}.norm.weight", (tag, "norm", "scale")),
+        (f"{prefix}.norm.bias", (tag, "norm", "bias")),
+        (f"{prefix}.qkv.weight", (tag, "qkv", "kernel")),
+        (f"{prefix}.proj.weight", (tag, "proj", "kernel")),
+        (f"{prefix}.proj.bias", (tag, "proj", "bias")),
+    ]
+
+
+def reference_param_entries(config, tree: Dict[str, Any]
+                            ) -> List[Tuple[str, Tuple[str, ...]]]:
+    """Every reference ``state_dict`` key paired with its flax params-tree
+    path, in the reference model's REGISTRATION order — which is also
+    ``model.parameters()`` order, i.e. the EMA shadow-list order
+    (``ema.py:10-13``; this model has no buffers).
+
+    ``tree`` is the (unfrozen) flax params mapping; it resolves the
+    data-dependent bits of the topology (skip convs, presence of mid
+    attention) that the registration walk cannot see from ``config`` alone.
+    """
+    entries: List[Tuple[str, Tuple[str, ...]]] = []
+    # top-of-model modules (unet_backbone.py:93-100): time_pos_emb has no
+    # params; time_mlp is Sequential(Linear, SiLU, Linear) -> net.{0,2}
+    for t_name, f_name in (("net.0", "fc1"), ("net.2", "fc2")):
+        entries += [
+            (f"time_mlp.{t_name}.weight", ("time_mlp", f_name, "kernel")),
+            (f"time_mlp.{t_name}.bias", ("time_mlp", f_name, "bias")),
+        ]
+    entries += [
+        ("in_conv.weight", ("in_conv", "kernel")),
+        ("in_conv.bias", ("in_conv", "bias")),
+        ("out_norm.weight", ("out_norm", "scale")),
+        ("out_norm.bias", ("out_norm", "bias")),
+        ("out_conv.weight", ("out_conv", "kernel")),
+        ("out_conv.bias", ("out_conv", "bias")),
+    ]
+    levels, _ = config.level_plan()
+    # encoder (unet_backbone.py:104-126): per level, [Res(,Attn)]*n + down
+    for L, lv in enumerate(levels):
+        j = 0
+        for n in range(config.num_res_blocks):
+            tag = f"down{L}_res{n}"
+            entries += _res_entries(f"downs.{L}.blocks.{j}", tag, tree[tag])
+            j += 1
+            if lv["use_attn"]:
+                entries += _attn_entries(f"downs.{L}.blocks.{j}",
+                                         f"down{L}_attn{n}")
+                j += 1
+        if lv["downsample"]:
+            entries += [
+                (f"downs.{L}.down.conv.weight", (f"down{L}_down", "conv", "kernel")),
+                (f"downs.{L}.down.conv.bias", (f"down{L}_down", "conv", "bias")),
+            ]
+    # bottleneck (unet_backbone.py:132-135): Res, Attn-or-Identity, Res
+    entries += _res_entries("mid.0", "mid_res0", tree["mid_res0"])
+    if "mid_attn" in tree:
+        entries += _attn_entries("mid.1", "mid_attn")
+    entries += _res_entries("mid.2", "mid_res1", tree["mid_res1"])
+    # decoder (unet_backbone.py:138-158): per level, 1+n ResBlocks, then
+    # up (Identity at level 0)
+    for L in range(len(levels)):
+        for n in range(config.num_res_blocks + 1):
+            tag = f"up{L}_res{n}"
+            entries += _res_entries(f"ups.{L}.blocks.{n}", tag, tree[tag])
+        if f"up{L}_up" in tree:
+            entries += [
+                (f"ups.{L}.up.conv.weight", (f"up{L}_up", "conv", "kernel")),
+                (f"ups.{L}.up.conv.bias", (f"up{L}_up", "conv", "bias")),
+            ]
+    return entries
+
+
+def _deconvert_leaf(w: np.ndarray, torch_key: str) -> np.ndarray:
+    """flax layout -> torch layout (exact inverse of :func:`_convert_leaf`).
+    Always returns a fresh contiguous WRITABLE array — jax-backed numpy
+    views are read-only, which ``torch.from_numpy`` warns about and the
+    reference's in-place EMA updates would trip over."""
+    w = np.asarray(w, dtype=np.float32)
+    if w.ndim == 4:                      # conv HWIO -> OIHW
+        w = np.transpose(w, (3, 2, 0, 1))
+    elif w.ndim == 2:
+        leaf = torch_key.rsplit(".", 2)[-2]
+        if leaf in ("qkv", "proj"):      # Dense (I, O) -> 1x1 conv OI11
+            w = w.T[:, :, None, None]
+        else:
+            w = w.T                      # Dense (I, O) -> Linear (O, I)
+    return np.array(w)  # force copy + writable + contiguous
+
+
+def flax_to_state_dict(params: Any, config) -> Dict[str, np.ndarray]:
+    """Render a flax params tree as a reference-ordered ``state_dict`` of
+    float32 numpy arrays.  Bidirectional completeness is enforced: the
+    registration walk must consume every flax leaf exactly once."""
+    tree = params["params"] if "params" in params else params
+    entries = reference_param_entries(config, tree)
+    sd: Dict[str, np.ndarray] = {}
+    for torch_key, path in entries:
+        node = tree
+        for k in path[:-1]:
+            if k not in node:
+                raise KeyError(
+                    f"{torch_key}: flax module {'/'.join(path[:-1])!r} absent "
+                    "— config/architecture mismatch")
+            node = node[k]
+        if path[-1] not in node:
+            raise KeyError(f"{torch_key}: flax leaf {'/'.join(path)!r} absent")
+        sd[torch_key] = _deconvert_leaf(np.asarray(node[path[-1]]), torch_key)
+    n_leaves = len(jax.tree.leaves(tree))
+    if len(sd) != n_leaves:
+        raise ValueError(
+            f"exported {len(sd)} torch params from {n_leaves} flax leaves — "
+            "incomplete export (architecture mismatch)")
+    return sd
+
+
+def export_torch_checkpoint(state, exp, out_path: str) -> Tuple[str, Dict[str, Any]]:
+    """Write a TrainState as a reference-format torch checkpoint.
+
+    The file matches ``save_ckpt``'s layout (``chekpoints.py:4-13``) minus
+    the optimizer/scaler entries (optax moments have no torch meaning;
+    ``load_ckpt:16-25`` treats both as optional): ``model`` from raw params,
+    ``ema`` as ``{"decay", "shadow": [tensor, ...]}`` with the shadow list
+    in ``model.parameters()`` order from the EMA tree, plus ``step`` and
+    ``extra``.  The reference can resume sampling/fine-tuning from it
+    directly; :func:`import_torch_checkpoint` round-trips it bitwise.
+    """
+    import torch
+
+    sd = flax_to_state_dict(state.params, exp.model)
+    ema_sd = flax_to_state_dict(state.ema_params, exp.model)
+    payload = {
+        "model": {k: torch.from_numpy(v) for k, v in sd.items()},
+        "ema": {
+            "decay": float(np.asarray(state.ema_decay)),
+            "shadow": [torch.from_numpy(ema_sd[k]) for k in sd],
+        },
+        "step": int(np.asarray(state.step)),
+        "extra": {"exported_from": "ddpm_diffusion_model_tpu",
+                  "experiment": exp.to_dict()},
+    }
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    torch.save(payload, out_path)
+    info = {
+        "params": sum(int(v.size) for v in sd.values()),
+        "step": payload["step"],
+        "ema": True,
+    }
+    return out_path, info

@@ -250,3 +250,179 @@ def test_cli_import_torch_full_attn_and_sample(torch_ref, tmp_path):
     cli_main(["sample-ddim", "--ckpt", out, "--n", "2", "--steps", "4",
               "--out", png])
     assert os.path.exists(png)
+
+
+# ---------------------------------------------------------------------------
+# flax -> torch export (the off-ramp)
+# ---------------------------------------------------------------------------
+
+from ddpm_diffusion_model_tpu.utils.interop import (  # noqa: E402
+    export_torch_checkpoint,
+    flax_to_state_dict,
+    reference_param_entries,
+)
+
+
+@pytest.mark.parametrize("preset", ["celeba64_low", "celeba64_attn",
+                                    "celebahq256"])
+def test_reference_key_order_matches_all_presets(torch_ref, preset):
+    """The export key walk reproduces the reference's state_dict keys
+    EXACTLY, order included — order is load-bearing because the EMA shadow
+    is a bare list in ``model.parameters()`` order (ema.py:10-13)."""
+    torch, RefUNet = torch_ref
+    exp = get_preset(preset)
+    m = exp.model
+    ref_m = RefUNet(
+        in_channels=m.in_channels, base_channels=m.base_channels,
+        channel_mults=tuple(m.channel_mults),
+        num_res_blocks=m.num_res_blocks,
+        attn_resolutions=set(m.attn_resolutions),
+        time_embed_dim=m.time_embed_dim, dropout=m.dropout,
+        num_heads=m.num_heads, head_dim=m.head_dim,
+        img_resolution=m.img_resolution,
+    )
+    _model, template = _template(m, m.img_resolution)
+    import flax
+
+    tree = flax.core.unfreeze(template)["params"]
+    ours = [k for k, _ in reference_param_entries(m, tree)]
+    theirs = list(ref_m.state_dict().keys())
+    assert ours == theirs
+    # parameters() order == state_dict order (the EMA shadow contract)
+    assert len(list(ref_m.parameters())) == len(theirs)
+
+
+def test_export_loads_into_reference_with_forward_parity(torch_ref, tmp_path):
+    """Export a flax TrainState and load it with the reference's own
+    load_ckpt: forwards must match to 1e-4 and the EMA shadow must land
+    tensor-for-tensor."""
+    torch, RefUNet = torch_ref
+    from src.training_loops.chekpoints import load_ckpt
+    from src.training_loops.ema import EMA
+
+    from ddpm_diffusion_model_tpu.ops import DiffusionConfig
+    from ddpm_diffusion_model_tpu.training import (TrainConfig,
+                                                   init_train_state,
+                                                   make_optimizer)
+    from ddpm_diffusion_model_tpu.utils.config import ExperimentConfig
+
+    cfg = UNetConfig(attn_resolutions=(8,), **TINY)
+    exp = ExperimentConfig(
+        model=cfg, diffusion=DiffusionConfig(T=100, img_size=16),
+        train=TrainConfig(), run_name="exported", img_size=16, batch_size=4)
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.key(3), jnp.ones((1, 16, 16, 3)),
+                        jnp.zeros((1,)))
+    state, _ = init_train_state(params, exp.train,
+                                tx=make_optimizer(exp.train))
+    # make EMA differ from raw params so the test can tell them apart
+    state = state.replace(
+        ema_params=jax.tree.map(lambda x: x * 1.5, state.params),
+        step=jnp.asarray(17, jnp.int32))
+
+    pt = str(tmp_path / "exported.pt")
+    path, info = export_torch_checkpoint(state, exp, pt)
+    assert info["step"] == 17 and info["ema"]
+
+    torch.manual_seed(0)
+    ref_m = RefUNet(attn_resolutions={8}, **TINY)
+    ema = EMA(ref_m, decay=0.999)
+    step, extra = load_ckpt(pt, ref_m, ema=ema, map_location="cpu")
+    assert step == 17
+    assert extra["exported_from"] == "ddpm_diffusion_model_tpu"
+    ref_m.eval()
+
+    rng = np.random.default_rng(11)
+    xa = rng.normal(size=(2, 3, 16, 16)).astype(np.float32)
+    tv = np.array([5, 88], dtype=np.int64)
+    with torch.no_grad():
+        theirs = ref_m(torch.from_numpy(xa), torch.from_numpy(tv))
+    ours = model.apply(params, jnp.asarray(np.transpose(xa, (0, 2, 3, 1))),
+                       jnp.asarray(tv.astype(np.int32)))
+    np.testing.assert_allclose(
+        np.asarray(ours), np.transpose(theirs.numpy(), (0, 2, 3, 1)),
+        rtol=1e-4, atol=1e-4)
+
+    # EMA shadow: copy_to must reproduce 1.5x the raw weights
+    ema.copy_to(ref_m)
+    with torch.no_grad():
+        p0 = next(ref_m.parameters()).numpy()
+    sd = flax_to_state_dict(state.ema_params, cfg)
+    np.testing.assert_allclose(p0, sd[list(sd)[0]], rtol=1e-6)
+
+
+def test_import_export_roundtrip_bitwise(torch_ref, tmp_path):
+    """reference ckpt -> import -> export reproduces every model and EMA
+    tensor bitwise (fp32 end to end, layout transforms are permutations)."""
+    torch, RefUNet = torch_ref
+    from ddpm_diffusion_model_tpu.ops import DiffusionConfig
+    from ddpm_diffusion_model_tpu.training import (TrainConfig,
+                                                   init_train_state,
+                                                   load_checkpoint,
+                                                   make_optimizer)
+    from ddpm_diffusion_model_tpu.utils.config import ExperimentConfig
+
+    pt = str(tmp_path / "ref.pt")
+    ref_m, ema = _make_ref_checkpoint(torch, RefUNet, pt)
+
+    cfg = UNetConfig(attn_resolutions=(8,), **TINY)
+    exp = ExperimentConfig(
+        model=cfg, diffusion=DiffusionConfig(T=100, img_size=16),
+        train=TrainConfig(), run_name="rt", img_size=16, batch_size=4)
+    out = str(tmp_path / "orbax")
+    path, _ = import_torch_checkpoint(pt, exp, out, require_ema=True)
+
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.key(0), jnp.ones((1, 16, 16, 3)),
+                        jnp.zeros((1,)))
+    template, _ = init_train_state(params, exp.train,
+                                   tx=make_optimizer(exp.train))
+    state, _ = load_checkpoint(path, template)
+
+    back = str(tmp_path / "back.pt")
+    export_torch_checkpoint(state, exp, back)
+    orig = torch.load(pt, map_location="cpu", weights_only=False)
+    rt = torch.load(back, map_location="cpu", weights_only=False)
+    assert list(rt["model"].keys()) == list(orig["model"].keys())
+    for k in orig["model"]:
+        np.testing.assert_array_equal(rt["model"][k].numpy(),
+                                      orig["model"][k].numpy(), err_msg=k)
+    assert len(rt["ema"]["shadow"]) == len(orig["ema"]["shadow"])
+    for i, (a, b) in enumerate(zip(rt["ema"]["shadow"],
+                                   orig["ema"]["shadow"])):
+        np.testing.assert_array_equal(a.numpy(), b.numpy(), err_msg=str(i))
+    assert rt["step"] == orig["step"]
+    assert rt["ema"]["decay"] == pytest.approx(orig["ema"]["decay"])
+
+
+def test_cli_export_torch(torch_ref, tmp_path):
+    """CLI off-ramp: save a native checkpoint, export-torch it, and load the
+    file with plain torch."""
+    torch, _RefUNet = torch_ref
+    from ddpm_diffusion_model_tpu.cli import main as cli_main
+    from ddpm_diffusion_model_tpu.ops import DiffusionConfig
+    from ddpm_diffusion_model_tpu.training import (TrainConfig,
+                                                   init_train_state,
+                                                   make_optimizer)
+    from ddpm_diffusion_model_tpu.training.checkpoint import save_checkpoint
+    from ddpm_diffusion_model_tpu.utils.config import ExperimentConfig
+
+    cfg = UNetConfig(attn_resolutions=(8,), **TINY)
+    exp = ExperimentConfig(
+        model=cfg, diffusion=DiffusionConfig(T=100, img_size=16),
+        train=TrainConfig(), run_name="cliexp", img_size=16, batch_size=4)
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    params = model.init(jax.random.key(4), jnp.ones((1, 16, 16, 3)),
+                        jnp.zeros((1,)))
+    state, _ = init_train_state(params, exp.train,
+                                tx=make_optimizer(exp.train))
+    ck = save_checkpoint(str(tmp_path / "ck"), state, epoch=0,
+                         configs={"experiment": exp.to_dict()})
+
+    out = str(tmp_path / "native.pt")
+    rc = cli_main(["export-torch", "--ckpt", ck, "--out", out])
+    assert rc is None or rc == 0
+    payload = torch.load(out, map_location="cpu", weights_only=False)
+    n = sum(int(t.numel()) for t in payload["model"].values())
+    assert n == sum(int(p.size) for p in jax.tree.leaves(params))
+    assert "optimizer" not in payload  # load_ckpt treats it as optional
