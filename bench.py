@@ -21,6 +21,10 @@ BASELINES = {
     "attn": 256.0,   # row 3: 246-266 imgs/s, batch 128
     "low": 362.0,    # row 1: 345-379 imgs/s, batch 32
     "hq256": 32.0,   # row 4: 31.3-32.8 imgs/s, batch 8 x accum 8
+    # beyond-reference DiT-S/4 family on the SAME 64px/batch-128 workload as
+    # the attention row (32.5M vs 31.3M params) — vs_baseline compares
+    # against the reference's only architecture for that task
+    "dit": 256.0,
 }
 
 
@@ -47,12 +51,18 @@ def bench_sampling(args):
         mcfg, res, n, dyn = unet_256x256_config(), 256, 8, 0.995
     elif args.config == "low":
         mcfg, res, n, dyn = unet_64x64_low_config(), 64, 36, None
+    elif args.config == "dit":
+        from ddpm_diffusion_model_tpu.models import dit_s4_64_config
+
+        mcfg, res, n, dyn = dit_s4_64_config(), 64, 36, None
     else:
         mcfg, res, n, dyn = unet_64x64_config(), 64, 36, None
     if args.batch:
         n = args.batch
     tag = f"_{args.config}_b{n}" if args.config != "attn" or args.batch else ""
-    model = UNetDenoiser(mcfg, dtype=jnp.bfloat16)
+    from ddpm_diffusion_model_tpu.models import build_denoiser
+
+    model = build_denoiser(mcfg, dtype=jnp.bfloat16)
     sched = make_schedule(
         DiffusionConfig(T=1000, img_size=res, dynamic_threshold=dyn))
     params = model.init(jax.random.key(0), jnp.ones((1, res, res, 3)),
@@ -190,6 +200,11 @@ def main():
     if args.config == "attn":
         mcfg, res, batch, accum, ema = unet_64x64_config(), 64, 128, 1, 0.9997
         metric = "train_imgs_per_s_celeba64_attn"
+    elif args.config == "dit":
+        from ddpm_diffusion_model_tpu.models import dit_s4_64_config
+
+        mcfg, res, batch, accum, ema = dit_s4_64_config(), 64, 128, 1, 0.9997
+        metric = "train_imgs_per_s_celeba64_dit_s4"
     elif args.config == "low":
         mcfg, res, batch, accum, ema = unet_64x64_low_config(), 64, 32, 1, 0.9995
         metric = "train_imgs_per_s_celeba64_low"
@@ -205,10 +220,14 @@ def main():
         accum = args.accum
     use_remat = False if args.remat is None else args.remat == "on"
     model_kw = {}
-    if args.dropout_impl:
-        model_kw["dropout_impl"] = args.dropout_impl
-    model = UNetDenoiser(mcfg, dtype=jnp.bfloat16, remat=use_remat,
-                         fused_gn=args.fused_gn, **model_kw)
+    if args.config != "dit":  # UNet-only constructor knobs
+        model_kw["fused_gn"] = args.fused_gn
+        if args.dropout_impl:
+            model_kw["dropout_impl"] = args.dropout_impl
+    from ddpm_diffusion_model_tpu.models import build_denoiser
+
+    model = build_denoiser(mcfg, dtype=jnp.bfloat16, remat=use_remat,
+                           **model_kw)
     dyn = 0.995 if args.config == "hq256" else None
     sched = make_schedule(
         DiffusionConfig(T=1000, schedule="linear", img_size=res, dynamic_threshold=dyn)

@@ -28,10 +28,10 @@ def _build(exp):
     enable_compilation_cache()
     import jax.numpy as jnp
 
-    from .models import UNetDenoiser
+    from .models import build_denoiser
     from .ops import make_schedule
 
-    model = UNetDenoiser(exp.model, dtype=jnp.bfloat16, remat=exp.remat)
+    model = build_denoiser(exp.model, dtype=jnp.bfloat16, remat=exp.remat)
     sched = make_schedule(exp.diffusion)
     return model, sched
 

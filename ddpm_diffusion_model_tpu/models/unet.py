@@ -75,11 +75,14 @@ class UNetConfig:
         return levels, res  # (levels, bottleneck_resolution)
 
     def to_dict(self) -> dict:
-        return dataclasses.asdict(self)
+        return dataclasses.asdict(self)  # no "family" key == unet (legacy)
 
     @classmethod
     def from_dict(cls, d: dict) -> "UNetConfig":
         d = dict(d)
+        fam = d.pop("family", "unet")
+        if fam != "unet":
+            raise ValueError(f"not a UNet config (family={fam!r})")
         d["channel_mults"] = tuple(d["channel_mults"])
         d["attn_resolutions"] = tuple(d["attn_resolutions"])
         return cls(**d)

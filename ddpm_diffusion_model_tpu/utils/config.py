@@ -27,7 +27,7 @@ __all__ = ["ExperimentConfig", "PRESETS", "get_preset"]
 
 @dataclasses.dataclass(frozen=True)
 class ExperimentConfig:
-    model: UNetConfig
+    model: Any  # UNetConfig | DiTConfig (family-dispatched in from_dict)
     diffusion: DiffusionConfig
     train: TrainConfig
     # run settings
@@ -44,6 +44,9 @@ class ExperimentConfig:
 
     def to_dict(self) -> Dict[str, Any]:
         d = dataclasses.asdict(self)
+        # asdict recurses the dataclass fields and would drop DiTConfig's
+        # "family" discriminator — route through the sub-config's own dict
+        d["model"] = self.model.to_dict()
         return d
 
     @classmethod
@@ -52,7 +55,12 @@ class ExperimentConfig:
         pre-r2 optimizer/RNG behaviors for old checkpoints — see
         TrainConfig.from_dict); fresh config files get modern defaults."""
         d = dict(d)
-        d["model"] = UNetConfig.from_dict(d["model"])
+        if d["model"].get("family", "unet") == "dit":
+            from ..models.dit import DiTConfig
+
+            d["model"] = DiTConfig.from_dict(d["model"])
+        else:
+            d["model"] = UNetConfig.from_dict(d["model"])
         d["diffusion"] = DiffusionConfig.from_dict(d["diffusion"])
         d["train"] = TrainConfig.from_dict(d["train"], legacy=legacy)
         return cls(**d)
@@ -103,10 +111,28 @@ def _preset_hq256() -> ExperimentConfig:
     )
 
 
+def _preset_dit() -> ExperimentConfig:
+    """Beyond-reference: the DiT-S/4 transformer denoiser at 64px (second
+    model family, models/dit.py).  Training hyperparameters mirror the
+    attention preset so throughput/quality compare apples-to-apples."""
+    from ..models.dit import dit_s4_64_config
+
+    return ExperimentConfig(
+        model=dit_s4_64_config(),
+        diffusion=DiffusionConfig(
+            T=1000, schedule="linear", img_size=64, dynamic_threshold=0.95
+        ),
+        train=TrainConfig(base_lr=2e-4, warmup_steps=1000, grad_accum_steps=1,
+                          ema_decay=0.9997),
+        run_name="celeba64_dit_s4", img_size=64, batch_size=128, epochs=50,
+    )
+
+
 PRESETS = {
     "celeba64_low": _preset_low,
     "celeba64_attn": _preset_attn,
     "celebahq256": _preset_hq256,
+    "celeba64_dit_s4": _preset_dit,
 }
 
 

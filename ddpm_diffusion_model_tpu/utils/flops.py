@@ -93,15 +93,39 @@ def unet_fwd_flops(cfg: UNetConfig, batch: int) -> int:
     return int(f)
 
 
-def train_step_flops(cfg: UNetConfig, batch: int) -> int:
+def dit_fwd_flops(cfg, batch: int) -> int:
+    """Analytic matmul FLOPs of one DiT forward (models/dit.py).
+
+    Per block: qkv (6NH^2) + attention (4N^2·H across heads) + proj (2NH^2)
+    + MLP (4rNH^2) + adaLN head (12H^2); plus patchify/unpatchify denses and
+    the conditioning MLP.  Everything else is elementwise/norm noise."""
+    N, H, L = cfg.seq_len, cfg.hidden_size, cfg.depth
+    r = cfg.mlp_ratio
+    pc = cfg.patch_size * cfg.patch_size * cfg.in_channels
+    per_block = N * H * H * (8 + 4 * r) + 4 * N * N * H + 12 * H * H
+    f = 2 * N * pc * H                      # patchify
+    f += 2 * (cfg.time_embed_dim * H + H * H)  # conditioning MLP
+    f += L * per_block
+    f += 4 * H * H + 2 * N * H * pc         # final adaLN + projection
+    return int(batch * f)
+
+
+def fwd_flops(cfg, batch: int) -> int:
+    """Family dispatch: analytic forward FLOPs for any denoiser config."""
+    if isinstance(cfg, UNetConfig):
+        return unet_fwd_flops(cfg, batch)
+    return dit_fwd_flops(cfg, batch)
+
+
+def train_step_flops(cfg, batch: int) -> int:
     """fwd + bwd (~2x fwd) for one optimizer step over ``batch`` images
     (grad accumulation does not change the total — it only splits it)."""
-    return 3 * unet_fwd_flops(cfg, batch)
+    return 3 * fwd_flops(cfg, batch)
 
 
-def sampling_flops(cfg: UNetConfig, batch: int, steps: int) -> int:
+def sampling_flops(cfg, batch: int, steps: int) -> int:
     """Reverse-process cost: one forward per timestep."""
-    return steps * unet_fwd_flops(cfg, batch)
+    return steps * fwd_flops(cfg, batch)
 
 
 def mfu(flops: int, seconds: float, peak_tflops: float = PEAK_TFLOPS["tpu v5e"]) -> float:

@@ -208,10 +208,14 @@ def import_torch_checkpoint(
 
     Returns ``(checkpoint_path, info)``.
     """
-    from ..models import UNetDenoiser
+    from ..models import UNetConfig, UNetDenoiser
     from ..training import TrainState, init_train_state, make_optimizer
     from ..training.checkpoint import save_checkpoint
 
+    if not isinstance(exp.model, UNetConfig):
+        raise TypeError(
+            "torch interop maps the reference's U-Net architecture only — "
+            f"got a {type(exp.model).__name__} experiment")
     state_t = load_reference_checkpoint(ckpt_path)
     sd = state_t["model"]
 
@@ -439,6 +443,12 @@ def export_torch_checkpoint(state, exp, out_path: str) -> Tuple[str, Dict[str, A
     """
     import torch
 
+    from ..models import UNetConfig
+
+    if not isinstance(exp.model, UNetConfig):
+        raise TypeError(
+            "torch interop maps the reference's U-Net architecture only — "
+            f"got a {type(exp.model).__name__} experiment")
     sd = flax_to_state_dict(state.params, exp.model)
     ema_sd = flax_to_state_dict(state.ema_params, exp.model)
     payload = {
