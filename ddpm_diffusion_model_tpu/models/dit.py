@@ -133,7 +133,12 @@ class DiTBlock(nn.Module):
             a.reshape(B, N, nh, dh).transpose(0, 2, 1, 3)
             for a in jnp.split(qkv, 3, axis=-1)
         ]
-        att = multi_head_attention(q, k, v, impl=self.attn_impl)
+        # TP: head-shard over an ambient tensor_parallel_mesh (no-op
+        # otherwise) — the same seam AttnBlock uses (parallel/tp.py)
+        from ..parallel.tp import shard_heads
+
+        q, k, v = shard_heads(q), shard_heads(k), shard_heads(v)
+        att = shard_heads(multi_head_attention(q, k, v, impl=self.attn_impl))
         att = att.transpose(0, 2, 1, 3).reshape(B, N, H)
         att = nn.Dense(H, name="proj", **kw)(att)
         if self.dropout > 0.0:

@@ -242,3 +242,32 @@ def test_dp_mesh_matches_single_device():
     stateN, mN = step(stateN, xs)
     np.testing.assert_allclose(float(m1["loss"]), float(mN["loss"]),
                                rtol=1e-4)
+
+
+def test_tp_head_sharding_equality():
+    """DiT attention under a tensor_parallel_mesh equals the unsharded
+    forward/backward — the family rides the same TP seam as AttnBlock."""
+    from ddpm_diffusion_model_tpu.parallel import (make_mesh,
+                                                   tensor_parallel_mesh)
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = make_mesh((4, 2), ("data", "model"))
+    model, params = _init()  # TINY: num_heads=2 / model axis 2
+    params = jax.tree.map(lambda a: a + 0.02, params)  # non-zero gates
+    x = jax.random.normal(jax.random.key(7), (4, 16, 16, 3))
+    t = jnp.array([5.0, 60.0, 9.0, 77.0])
+
+    def loss(p, xx):
+        return jnp.sum(model.apply(p, xx, t) ** 2)
+
+    y_ref = model.apply(params, x, t)
+    g_ref = jax.grad(loss)(params, x)
+    with tensor_parallel_mesh(mesh, "model"):
+        y_tp = jax.jit(model.apply)(params, x, t)
+        g_tp = jax.jit(jax.grad(loss))(params, x)
+    np.testing.assert_allclose(np.asarray(y_tp), np.asarray(y_ref),
+                               atol=2e-5, rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(g_tp), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=2e-4, rtol=2e-4)
