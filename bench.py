@@ -117,7 +117,15 @@ def bench_sampling(args):
         results["dpmpp20_samples_per_s"] = reps * n / (time.perf_counter() - t0)
         assert np.isfinite(np.asarray(x)).all()
 
-    if args.sampler in ("fast", "both"):
+    if args.sampler in ("fast", "both") and args.config == "dit":
+        # encoder-cached sampling is U-Net-only (DiT has no encoder/decoder
+        # split); crashing here would discard the timings measured above
+        if args.sampler == "fast":
+            print(json.dumps({"metric": "ddim50_cached_samples_per_s" + tag,
+                              "value": None, "unit": "samples/s",
+                              "vs_baseline": None,
+                              "note": "encoder-cached sampler is U-Net-only"}))
+    elif args.sampler in ("fast", "both"):
         # encoder-cached DDIM-50 (sampling/fast.py), refresh every 2nd step
         from ddpm_diffusion_model_tpu.sampling.fast import _ddim_cached_jit
 

@@ -246,6 +246,10 @@ class DeviceCacheLoader:
         import jax
         import jax.numpy as jnp
 
+        if quantize and dtype is not None:
+            raise ValueError(
+                "quantize=True stores the corpus as uint8 — it contradicts "
+                f"dtype={dtype}; pass one or the other")
         if isinstance(data, np.ndarray):
             arr = data
         else:  # dataset protocol: materialize ((img, label) or bare items)

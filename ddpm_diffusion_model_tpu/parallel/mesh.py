@@ -75,10 +75,15 @@ def initialize_distributed(**kwargs) -> None:
         late_but_local = ("must be called before" in msg and not kwargs
                           and not multi_tpu
                           and not any(v in os.environ for v in cluster_hints))
+        # coordinator-derivation failures are benign only without any
+        # multi-host intent: with kwargs OR a cluster env hint, every host
+        # silently continuing as process_count()==1 duplicates the workload
+        no_intent = (not kwargs and not multi_tpu
+                     and not any(v in os.environ for v in cluster_hints))
         benign = ("already initialized" in msg
                   or "is already" in msg
                   or "single process" in msg
-                  or ("coordinator_address" in msg and not kwargs)
+                  or ("coordinator_address" in msg and no_intent)
                   or late_but_local)
         if not benign:
             raise

@@ -435,6 +435,7 @@ def train_ddpm(
     else:
         _pctx = catch_preemption() if handle_preemption else None
         stop_flag = _pctx.__enter__() if _pctx is not None else PreemptionFlag()
+    _fid_cache = {}  # true-FID extractor + fixed-reference stats, built once
     try:
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
@@ -555,11 +556,20 @@ def train_ddpm(
                         # true FID via a mounted extractor file (the offline
                         # hook, utils/fid.py): scored per sampling epoch next
                         # to rFID so quality curves use the real metric the
-                        # moment weights are available
-                        from ..utils.fid import fid as true_fid
+                        # moment weights are available.  The extractor and
+                        # the fixed reference set's stats are built ONCE —
+                        # reloading ~100MB weights + re-featurizing the same
+                        # images every epoch would be pure waste.
+                        from ..utils.fid import (_stats, frechet_distance,
+                                                 load_torch_extractor)
 
-                        fscore = true_fid(ref01, samples,
-                                          extractor_path=fid_extractor)
+                        if "ex" not in _fid_cache:
+                            _fid_cache["ex"] = load_torch_extractor(
+                                fid_extractor)
+                            _fid_cache["ref"] = _stats(_fid_cache["ex"](ref01))
+                        fscore = frechet_distance(
+                            *_fid_cache["ref"],
+                            *_stats(_fid_cache["ex"](samples)))
                         summary["epochs"][-1]["fid"] = fscore
                         fid_msg += f" | FID={fscore:.3f}"
                 print(
