@@ -271,3 +271,29 @@ def test_tp_head_sharding_equality():
     for a, b in zip(jax.tree.leaves(g_tp), jax.tree.leaves(g_ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=2e-4, rtol=2e-4)
+
+
+def test_ring_attention_equality():
+    """DiT with attn_impl='ring' under a context_parallel_mesh matches the
+    XLA attention numerics — SP/CP works for the family via the shared
+    ops.attention dispatcher (N=16 tokens ring over 4 devices)."""
+    from ddpm_diffusion_model_tpu.ops.ring_attention import (
+        context_parallel_mesh,
+    )
+    from ddpm_diffusion_model_tpu.parallel import make_mesh
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs the virtual multi-device mesh")
+    model_x = DiTDenoiser(TINY, dtype=jnp.float32, attn_impl="xla")
+    model_r = DiTDenoiser(TINY, dtype=jnp.float32, attn_impl="ring")
+    params = model_x.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                          jnp.zeros((1,)))
+    params = jax.tree.map(lambda a: a + 0.02, params)  # non-zero gates
+    x = jax.random.normal(jax.random.key(8), (2, 16, 16, 3))
+    t = jnp.array([5.0, 60.0])
+    y_ref = model_x.apply(params, x, t)
+    mesh = make_mesh((1, 4), ("data", "cp"), devices=jax.devices()[:4])
+    with context_parallel_mesh(mesh, "cp"):
+        y_ring = jax.jit(model_r.apply)(params, x, t)
+    np.testing.assert_allclose(np.asarray(y_ring), np.asarray(y_ref),
+                               atol=2e-5, rtol=2e-5)
