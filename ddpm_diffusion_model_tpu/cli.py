@@ -321,6 +321,12 @@ def cmd_sample_ddim(args):
     if getattr(args, "refresh_every", 0) > 1:
         # encoder-cached fast path (sampling/fast.py): decoder-only reuse
         # steps between encoder refreshes
+        from .models import UNetDenoiser
+
+        if not isinstance(model, UNetDenoiser):
+            sys.exit("--refresh-every: encoder-cached sampling is U-Net-only"
+                     " (this checkpoint is a "
+                     f"{type(exp.model).__name__} experiment)")
         from .sampling import ddim_sample_fast
 
         ddim_sample_fast(
