@@ -1,5 +1,11 @@
 from .blocks import AttnBlock, Downsample, ResBlock, Upsample, group_norm  # noqa: F401
-from .dit import DiTConfig, DiTDenoiser, dit_b4_64_config, dit_s4_64_config  # noqa: F401
+from .dit import (  # noqa: F401
+    DiTConfig,
+    DiTDenoiser,
+    dit_b4_64_config,
+    dit_s4_256_config,
+    dit_s4_64_config,
+)
 from .embeddings import TimeMLP, sinusoidal_time_embedding  # noqa: F401
 from .unet import (  # noqa: F401
     UNetConfig,

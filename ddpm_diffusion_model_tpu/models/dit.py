@@ -40,7 +40,8 @@ import numpy as np
 from ..ops.attention import multi_head_attention
 from .embeddings import sinusoidal_time_embedding
 
-__all__ = ["DiTConfig", "DiTDenoiser", "dit_s4_64_config", "dit_b4_64_config"]
+__all__ = ["DiTConfig", "DiTDenoiser", "dit_s4_64_config",
+           "dit_b4_64_config", "dit_s4_256_config"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -253,6 +254,19 @@ def dit_b4_64_config(**overrides) -> DiTConfig:
     """DiT-B/4 at 64px: 768 wide, 12 deep (~85M params)."""
     base = dict(in_channels=3, img_resolution=64, patch_size=4,
                 hidden_size=768, depth=12, num_heads=12, mlp_ratio=4.0,
+                dropout=0.0, time_embed_dim=256)
+    base.update(overrides)
+    return DiTConfig(**base)
+
+
+def dit_s4_256_config(**overrides) -> DiTConfig:
+    """DiT-S/4 at 256px: 4096 tokens — attention-dominated (4N^2H ≈ 2.6x
+    the MLP FLOPs per block), which is exactly where the streamed Pallas
+    flash kernel auto-engages (ops/attention.py: N >= 2048 on TPU) and
+    where ring attention (attn_impl='ring') shards the sequence over a
+    cp mesh axis."""
+    base = dict(in_channels=3, img_resolution=256, patch_size=4,
+                hidden_size=384, depth=12, num_heads=6, mlp_ratio=4.0,
                 dropout=0.0, time_embed_dim=256)
     base.update(overrides)
     return DiTConfig(**base)
