@@ -297,3 +297,24 @@ def test_ring_attention_equality():
         y_ring = jax.jit(model_r.apply)(params, x, t)
     np.testing.assert_allclose(np.asarray(y_ring), np.asarray(y_ref),
                                atol=2e-5, rtol=2e-5)
+
+
+def test_pallas_flash_attention_path():
+    """DiT with attn_impl='pallas' (the path the auto-dispatch takes at
+    N>=2048 on TPU, e.g. dit_s4_256_config's 4096 tokens) matches XLA
+    numerics — run in Pallas interpret mode on CPU."""
+    from jax.experimental import pallas as pl  # noqa: F401  (availability)
+    from jax.experimental.pallas import tpu as pltpu
+
+    model_x = DiTDenoiser(TINY, dtype=jnp.float32, attn_impl="xla")
+    model_p = DiTDenoiser(TINY, dtype=jnp.float32, attn_impl="pallas")
+    params = model_x.init(jax.random.key(0), jnp.zeros((1, 16, 16, 3)),
+                          jnp.zeros((1,)))
+    params = jax.tree.map(lambda a: a + 0.02, params)
+    x = jax.random.normal(jax.random.key(9), (2, 16, 16, 3))
+    t = jnp.array([5.0, 60.0])
+    y_ref = model_x.apply(params, x, t)
+    with pltpu.force_tpu_interpret_mode():
+        y_pal = model_p.apply(params, x, t)
+    np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
+                               atol=5e-5, rtol=5e-5)
