@@ -173,7 +173,9 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--batch", type=int, help="override batch size")
     ap.add_argument("--accum", type=int, help="override grad-accum steps")
-    ap.add_argument("--remat", choices=["on", "off"], help="override remat")
+    ap.add_argument("--remat", choices=["on", "off", "masks"],
+                    help="override remat ('masks' = targeted policy that "
+                         "regenerates only dropout bits in the backward)")
     ap.add_argument("--fused-gn", action="store_true",
                     help="tiled Pallas GN+SiLU+time-bias epilogue")
     ap.add_argument("--dropout-impl", choices=["packed", "flax"],
@@ -226,7 +228,10 @@ def main():
         batch = args.batch
     if args.accum:
         accum = args.accum
-    use_remat = False if args.remat is None else args.remat == "on"
+    if args.remat == "masks":
+        use_remat = "masks"
+    else:
+        use_remat = False if args.remat is None else args.remat == "on"
     model_kw = {}
     if args.config != "dit":  # UNet-only constructor knobs
         model_kw["fused_gn"] = args.fused_gn

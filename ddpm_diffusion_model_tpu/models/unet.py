@@ -24,7 +24,7 @@ encoder and decoder — the single-source-of-truth fix SURVEY.md §7 calls for.
 from __future__ import annotations
 
 import dataclasses
-from typing import Sequence, Tuple
+from typing import Any, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -95,9 +95,16 @@ class UNetDenoiser(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
-    remat: bool = False  # rematerialize ResBlocks — the TPU replacement for
-    #                      the reference's OOM-skip (SURVEY.md §7: static
-    #                      memory planning + optional remat for 256px)
+    remat: Any = False  # ResBlock rematerialization — the TPU replacement
+    #                     for the reference's OOM-skip (SURVEY.md §7):
+    #                     True  = full remat (recompute everything; the
+    #                             256px memory lever)
+    #                     "masks" = targeted policy: save every intermediate
+    #                             EXCEPT the named dropout bits, so only the
+    #                             uint8 masks regenerate in the backward —
+    #                             trades ~1 ms of rbg bits for the saved-mask
+    #                             HBM round trip (docs/BENCH.md 64px
+    #                             attribution)
     fused_gn: bool = False  # tiled Pallas GN+SiLU+time-bias epilogue
     #                         (ops.fused_norm); opt-in per measurement
     dropout_impl: str = "packed"  # "packed" (ops.dropout, 8 bits/elem,
@@ -131,7 +138,18 @@ class UNetDenoiser(nn.Module):
         """
         cfg = self.config
         levels, bottleneck_res = cfg.level_plan()
-        Res = nn.remat(ResBlock) if self.remat else ResBlock
+        if self.remat == "masks":
+            # save everything EXCEPT the named uint8 dropout bits: backward
+            # regenerates only the masks (ops/dropout.py names them)
+            Res = nn.remat(
+                ResBlock,
+                policy=jax.checkpoint_policies.save_anything_except_these_names(
+                    "dropout_bits"),
+            )
+        elif self.remat:
+            Res = nn.remat(ResBlock)
+        else:
+            Res = ResBlock
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         res_kw = dict(dropout=cfg.dropout, deterministic=deterministic,
                       fused_gn=self.fused_gn, dropout_impl=self.dropout_impl,

@@ -82,7 +82,14 @@ def packed_dropout(x: jnp.ndarray, rate: float, key: jax.Array) -> jnp.ndarray:
     if t == 0:
         return x
     keep_prob = 1.0 - t / 256.0
-    bits = _uint8_bits(key, x.shape)
+    # named for the targeted remat policy (UNetDenoiser(remat="masks")):
+    # `save_anything_except_these_names("dropout_bits")` makes the backward
+    # REGENERATE the bits from the replayed rng (0.9 ms for the whole step)
+    # instead of round-tripping ~0.6 GB of saved masks through HBM.  A
+    # no-op identity without an enclosing name-aware jax.checkpoint.
+    from jax.ad_checkpoint import checkpoint_name
+
+    bits = checkpoint_name(_uint8_bits(key, x.shape), "dropout_bits")
     keep = bits >= jnp.uint8(t)  # P(drop) = t/256 exactly
     scale = jnp.asarray(1.0 / keep_prob, x.dtype)
     return jnp.where(keep, x * scale, jnp.zeros((), x.dtype))

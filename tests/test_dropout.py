@@ -126,3 +126,35 @@ def test_unet_dropout_impl_param_tree_unchanged():
         trees.append(jax.tree.structure(p))
         # eval forward identical across impls given identical params
     assert trees[0] == trees[1]
+
+
+def test_remat_masks_policy_matches_no_remat():
+    """UNetDenoiser(remat="masks") — backward regenerates only the named
+    dropout bits — must match remat=False numerically: the rng replay
+    yields the SAME masks, so loss/gradients agree to fp-reassociation
+    tolerance (remat reschedules fusions, so bitwise equality is not
+    expected)."""
+    cfg = UNetConfig(base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(), time_embed_dim=16, num_heads=1,
+                     head_dim=8, img_resolution=8, dropout=0.25)
+    x = jax.random.normal(jax.random.key(5), (2, 8, 8, 3))
+    t = jnp.array([3.0, 7.0])
+
+    def grads(remat):
+        m = UNetDenoiser(cfg, dtype=jnp.float32, remat=remat)
+        p = m.init({"params": jax.random.key(0),
+                    "dropout": jax.random.key(1)}, x, t, deterministic=False)
+
+        def loss(pp):
+            y = m.apply(pp, x, t, deterministic=False,
+                        rngs={"dropout": jax.random.key(2)})
+            return jnp.sum(y ** 2)
+
+        return jax.jit(jax.value_and_grad(loss))(p)
+
+    l0, g0 = grads(False)
+    l1, g1 = grads("masks")
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-5)
