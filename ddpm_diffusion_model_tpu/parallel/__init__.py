@@ -11,6 +11,10 @@ from .sharding import (  # noqa: F401
     put_global,
     state_sharding,
 )
+from .pp import (  # noqa: F401
+    dit_apply_pipelined,
+    pipeline_blocks,
+)
 from .tp import (  # noqa: F401
     place_params_tp,
     shard_heads,
