@@ -149,3 +149,29 @@ def test_sharded_hq256_topology_matches_single_device():
                       (8, res, res, 3), ts, 0.0, None)
     np.testing.assert_allclose(
         x8, np.asarray(to_unit_interval(x1)), atol=2e-5)
+
+
+def test_sharded_sampling_with_dit():
+    """SPMD sampling is family-agnostic: a DiT eps_fn through
+    sample_grid_sharded matches the single-device DDIM scan."""
+    from ddpm_diffusion_model_tpu.models import DiTConfig, DiTDenoiser
+
+    cfg = DiTConfig(img_resolution=RES, patch_size=4, hidden_size=32,
+                    depth=2, num_heads=2, time_embed_dim=16)
+    model = DiTDenoiser(cfg, dtype=jnp.float32)
+    sched = make_schedule(DiffusionConfig(T=T, img_size=RES))
+    params = model.init(jax.random.key(0), jnp.ones((1, RES, RES, 3)),
+                        jnp.zeros((1,)))
+    params = jax.tree.map(lambda a: a + 0.02, params)
+    mesh = make_mesh()
+    x_sharded = sample_grid_sharded(
+        model, params, sched, mesh, kind="ddim", n=16, img_size=RES,
+        seed=3, steps=5,
+    )
+    ts = tuple(int(t) for t in build_ddim_schedule("t_linear", 5, T))
+    x_single, _ = _ddim_jit(
+        model, params, sched, jax.random.key(3), (16, RES, RES, 3),
+        ts, 0.0, None,
+    )
+    np.testing.assert_allclose(
+        x_sharded, np.asarray(to_unit_interval(x_single)), atol=2e-5)
