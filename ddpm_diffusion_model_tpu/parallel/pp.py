@@ -49,13 +49,18 @@ __all__ = ["pipeline_blocks", "dit_apply_pipelined"]
 
 def pipeline_blocks(block_fn, stacked_params: Any, tokens: jnp.ndarray,
                     c: jnp.ndarray, mesh: Mesh, axis: str = "pp",
-                    microbatches: Optional[int] = None) -> jnp.ndarray:
+                    microbatches: Optional[int] = None,
+                    data_axis: Optional[str] = None) -> jnp.ndarray:
     """Run ``tokens`` through the stacked layers, pipelined over ``axis``.
 
     ``block_fn(layer_params, tokens_mb, c_mb) -> tokens_mb`` applies ONE
     layer.  ``stacked_params`` leaves have a leading layer axis L divisible
     by the stage count S; ``tokens`` is (B, N, H) with B divisible by the
     microbatch count M (default S).  Returns (B, N, H), replicated.
+
+    With ``data_axis`` (DP x PP on a 2-D mesh): the microbatch dim shards
+    over ``data_axis`` — each data slice runs its own pipeline over the
+    same stage-sharded params, with zero cross-slice communication.
     """
     S = int(mesh.shape[axis])
     L = int(jax.tree.leaves(stacked_params)[0].shape[0])
@@ -66,6 +71,11 @@ def pipeline_blocks(block_fn, stacked_params: Any, tokens: jnp.ndarray,
     if B % M:
         raise ValueError(f"batch {B} not divisible by {M} microbatches")
     mb = B // M
+    D = int(mesh.shape[data_axis]) if data_axis else 1
+    if mb % D:
+        raise ValueError(
+            f"microbatch size {mb} not divisible by mesh axis "
+            f"{data_axis!r} ({D})")
     xs = tokens.reshape(M, mb, N, H)
     cs = c.reshape(M, mb, c.shape[-1])
 
@@ -97,8 +107,9 @@ def pipeline_blocks(block_fn, stacked_params: Any, tokens: jnp.ndarray,
                 out, axis, [(i, (i + 1) % S) for i in range(S)])
             return (nxt, ys), None
 
-        init = (jnp.zeros((mb, N, H), tokens.dtype),
-                jnp.zeros((M, mb, N, H), tokens.dtype))
+        mb_local = xs.shape[1]  # mb/D under a data_axis, mb otherwise
+        init = (jnp.zeros((mb_local, N, H), tokens.dtype),
+                jnp.zeros((M, mb_local, N, H), tokens.dtype))
         (_, ys), _ = jax.lax.scan(tick, init, jnp.arange(T))
         # only the last stage holds real outputs — psum-broadcast them
         ys = jax.lax.psum(
@@ -107,10 +118,11 @@ def pipeline_blocks(block_fn, stacked_params: Any, tokens: jnp.ndarray,
 
     from jax.experimental.shard_map import shard_map
 
+    mb_spec = P(None, data_axis) if data_axis else P()
     out = shard_map(
         per_stage, mesh=mesh,
-        in_specs=(P(axis), P(), P()),
-        out_specs=P(),
+        in_specs=(P(axis), mb_spec, mb_spec),
+        out_specs=mb_spec,
         check_rep=False,  # the psum-select breaks shard_map's rep inference
     )(stacked_params, xs, cs)
     return out.reshape(B, N, H)
@@ -131,7 +143,8 @@ def _dense(tree: Any, name: str, x: jnp.ndarray, dtype) -> jnp.ndarray:
 
 def dit_apply_pipelined(model, params: Any, x: jnp.ndarray, t: jnp.ndarray,
                         mesh: Mesh, axis: str = "pp",
-                        microbatches: Optional[int] = None) -> jnp.ndarray:
+                        microbatches: Optional[int] = None,
+                        data_axis: Optional[str] = None) -> jnp.ndarray:
     """``model.apply(params, x, t)`` with the transformer blocks pipelined.
 
     Embed and head run replicated (they are <2% of the FLOPs); the depth
@@ -175,7 +188,8 @@ def dit_apply_pipelined(model, params: Any, x: jnp.ndarray, t: jnp.ndarray,
         return block.apply({"params": layer_p}, tok_mb, c_mb)[0]
 
     tok = pipeline_blocks(block_fn, tree["blocks"], tok, c, mesh,
-                          axis=axis, microbatches=microbatches)
+                          axis=axis, microbatches=microbatches,
+                          data_axis=data_axis)
 
     # ---- head (mirrors the module's final adaLN + zero-init projection) --
     mods = _dense(tree, "final_ada", jax.nn.silu(c), jnp.float32)

@@ -127,3 +127,23 @@ def test_pipeline_blocks_identity_stage_count_one():
     y_pp = dit_apply_pipelined(model, params, x, t, mesh, microbatches=2)
     np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_dp_x_pp_composition():
+    """2-D (data, pp) mesh: each data slice runs its own pipeline over the
+    same stage-sharded params — output equals the plain forward."""
+    model, params = _setup()
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the virtual 8-device mesh")
+    mesh = make_mesh((2, 4), ("data", "pp"), devices=jax.devices()[:8])
+    x = jax.random.normal(jax.random.key(5), (8, 16, 16, 3))
+    t = jnp.arange(8.0) * 13.0
+    y_ref = model.apply(params, x, t)
+    y_pp = dit_apply_pipelined(model, params, x, t, mesh,
+                               microbatches=2, data_axis="data")
+    np.testing.assert_allclose(np.asarray(y_pp), np.asarray(y_ref),
+                               atol=1e-5, rtol=1e-5)
+    # indivisible local microbatch -> clean error
+    with pytest.raises(ValueError, match="not divisible by mesh axis"):
+        dit_apply_pipelined(model, params, x[:6], t[:6], mesh,
+                            microbatches=2, data_axis="data")
