@@ -149,7 +149,7 @@ ring_attention.defvjp(_ring_fwd, _ring_bwd)
 def ring_attention_sharded(q, k, v, mesh: Mesh, axis: str = "data"):
     """Convenience wrapper: shard (B, h, N, d) operands on N over ``axis``
     and run :func:`ring_attention` under ``shard_map``."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.8 home (was jax.experimental)
 
     spec = P(None, None, axis, None)
     fn = shard_map(
@@ -197,7 +197,7 @@ def ring_attention_auto(q, k, v):
     sequence (N) axis; composes with an outer jit.  Raises if no context is
     active (the "ring" impl is meaningless without a mesh axis).
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.8 home (was jax.experimental)
 
     ctx = current_cp_mesh()
     if ctx is None:

@@ -116,14 +116,14 @@ def pipeline_blocks(block_fn, stacked_params: Any, tokens: jnp.ndarray,
             jnp.where(s == S - 1, ys, jnp.zeros_like(ys)), axis)
         return ys
 
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map  # jax>=0.8 home (was jax.experimental)
 
     mb_spec = P(None, data_axis) if data_axis else P()
     out = shard_map(
         per_stage, mesh=mesh,
         in_specs=(P(axis), mb_spec, mb_spec),
         out_specs=mb_spec,
-        check_rep=False,  # the psum-select breaks shard_map's rep inference
+        check_vma=False,  # the psum-select breaks shard_map's rep inference
     )(stacked_params, xs, cs)
     return out.reshape(B, N, H)
 
