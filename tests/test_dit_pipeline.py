@@ -147,3 +147,25 @@ def test_dp_x_pp_composition():
     with pytest.raises(ValueError, match="not divisible by mesh axis"):
         dit_apply_pipelined(model, params, x[:6], t[:6], mesh,
                             microbatches=2, data_axis="data")
+
+
+def test_ddim_sampling_through_pipeline():
+    """The whole DDIM reverse scan composes with the pipelined eps_fn —
+    model-parallel sampling for models too big for one chip."""
+    from ddpm_diffusion_model_tpu.ops import DiffusionConfig, make_schedule
+    from ddpm_diffusion_model_tpu.sampling import ddim_sample_loop
+
+    model, params = _setup()
+    mesh = _pp_mesh(4)
+    sched = make_schedule(DiffusionConfig(T=20, img_size=16))
+    x0 = jax.random.normal(jax.random.key(6), (4, 16, 16, 3))
+    ts = np.array([19, 10, 5, 0])
+
+    ref, _ = ddim_sample_loop(
+        sched, lambda x, t: model.apply(params, x, t), x0,
+        jax.random.key(7), timesteps=ts, eta=0.0)
+    pp, _ = ddim_sample_loop(
+        sched, lambda x, t: dit_apply_pipelined(model, params, x, t, mesh),
+        x0, jax.random.key(7), timesteps=ts, eta=0.0)
+    np.testing.assert_allclose(np.asarray(pp), np.asarray(ref),
+                               atol=1e-5, rtol=1e-5)
