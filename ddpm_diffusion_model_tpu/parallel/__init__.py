@@ -12,6 +12,7 @@ from .sharding import (  # noqa: F401
     state_sharding,
 )
 from .pp import (  # noqa: F401
+    PipelinedDiT,
     dit_apply_pipelined,
     pipeline_blocks,
 )

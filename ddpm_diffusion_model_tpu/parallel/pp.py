@@ -44,7 +44,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models.dit import DiTBlock, DiTConfig, _posemb_2d_sincos
 from ..models.embeddings import sinusoidal_time_embedding
 
-__all__ = ["pipeline_blocks", "dit_apply_pipelined"]
+__all__ = ["pipeline_blocks", "dit_apply_pipelined", "PipelinedDiT"]
 
 
 def pipeline_blocks(block_fn, stacked_params: Any, tokens: jnp.ndarray,
@@ -199,3 +199,46 @@ def dit_apply_pipelined(model, params: Any, x: jnp.ndarray, t: jnp.ndarray,
     out = out.reshape(B, hp, wp, p, p, cfg.in_channels)
     out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hi, Wi, cfg.in_channels)
     return out.astype(in_dtype)
+
+
+class PipelinedDiT:
+    """Model-shim exposing the ``UNetDenoiser``-style ``.apply`` contract
+    with the blocks pipelined — so the STANDARD train step
+    (``training.step.make_train_step``) and samplers run pipeline-parallel
+    without modification:
+
+        step = make_train_step(PipelinedDiT(model, mesh), sched, tx, cfg)
+
+    The backward pipeline comes from AD (module docstring); the optimizer
+    update runs replicated on the full param tree (the stage-sharding is a
+    shard_map-interior view — params enter and leave as one array).
+    Requires ``dropout == 0`` (the pipeline carries no per-tick rng); the
+    constructor enforces it so the train step's ``deterministic=False``
+    call is a no-op distinction.
+    """
+
+    def __init__(self, model, mesh: Mesh, axis: str = "pp",
+                 microbatches: Optional[int] = None,
+                 data_axis: Optional[str] = None):
+        if model.config.dropout:
+            raise ValueError("PipelinedDiT requires dropout == 0 — the "
+                             "pipeline carries no per-tick rng stream")
+        self.model = model
+        self.config = model.config
+        self.dtype = model.dtype
+        self.mesh = mesh
+        self.axis = axis
+        self.microbatches = microbatches
+        self.data_axis = data_axis
+
+    def apply(self, params, x, t, *, deterministic: bool = True,
+              rngs=None, **kw):
+        del deterministic, rngs  # dropout==0: train and eval coincide
+        if kw:
+            raise TypeError(f"unsupported apply options: {sorted(kw)}")
+        return dit_apply_pipelined(
+            self.model, params, x, t, self.mesh, axis=self.axis,
+            microbatches=self.microbatches, data_axis=self.data_axis)
+
+    def init(self, *a, **k):
+        return self.model.init(*a, **k)

@@ -169,3 +169,43 @@ def test_ddim_sampling_through_pipeline():
         x0, jax.random.key(7), timesteps=ts, eta=0.0)
     np.testing.assert_allclose(np.asarray(pp), np.asarray(ref),
                                atol=1e-5, rtol=1e-5)
+
+
+def test_full_train_step_through_pipeline():
+    """The STANDARD train step (training/step.py) runs with PipelinedDiT
+    unmodified; loss and updated params match the plain model's step.
+    SGD optimizer — exact param comparison is only meaningful for a
+    linear-in-grads update (same rationale as tests/test_parallel.py:
+    Adam's m/sqrt(v) amplifies fp-reassociation noise on tiny grads)."""
+    import optax
+
+    from ddpm_diffusion_model_tpu.ops import DiffusionConfig, make_schedule
+    from ddpm_diffusion_model_tpu.parallel.pp import PipelinedDiT
+    from ddpm_diffusion_model_tpu.training import (TrainConfig,
+                                                   init_train_state,
+                                                   make_train_step)
+
+    model, params = _setup()
+    mesh = _pp_mesh(4)
+    sched = make_schedule(DiffusionConfig(T=20, img_size=16))
+    tcfg = TrainConfig(base_lr=1e-1, warmup_steps=None, grad_clip=None)
+    tx = optax.sgd(tcfg.base_lr)
+    x = jax.random.normal(jax.random.key(9), (8, 16, 16, 3)) * 0.5
+
+    s1, _ = init_train_state(params, tcfg, tx=tx)
+    s1, m1 = make_train_step(model, sched, tx, tcfg)(s1, x)
+
+    pp_model = PipelinedDiT(model, mesh, microbatches=4)
+    s2, _ = init_train_state(params, tcfg, tx=tx)
+    s2, m2 = make_train_step(pp_model, sched, tx, tcfg)(s2, x)
+
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               rtol=1e-5)
+    for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-6)
+
+    drop_model = DiTDenoiser(
+        DiTConfig(img_resolution=16, patch_size=4, hidden_size=64, depth=2,
+                  num_heads=2, time_embed_dim=32, dropout=0.1))
+    with pytest.raises(ValueError, match="dropout"):
+        PipelinedDiT(drop_model, mesh)
