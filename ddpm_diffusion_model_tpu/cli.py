@@ -85,7 +85,7 @@ def _eval_set_size(args, exp):
     return max(args.synthetic_size // 8 // exp.batch_size, 1) * exp.batch_size
 
 
-def _make_loader(args, exp, with_eval=False):
+def _make_loader(args, exp, with_eval=False, mesh=None):
     """Train loader for ``--data``, plus (when ``with_eval``) the validation
     loader: the official valid split for celeba, disjoint-seed held-out sets
     for the procedural sources, None where the source has no meaningful
@@ -98,7 +98,17 @@ def _make_loader(args, exp, with_eval=False):
         get_celeba_loaders,
     )
 
-    device_cache = bool(getattr(args, "device_cache", False))
+    shard_corpus = bool(getattr(args, "device_cache_sharded", False))
+    device_cache = bool(getattr(args, "device_cache", False)) or shard_corpus
+    if shard_corpus and mesh is None:
+        sys.exit("--device-cache-sharded needs --mesh (the corpus shards "
+                 "over the mesh's data axis)")
+    cache_kw = dict(quantize=True, progress=True)
+    if mesh is not None and device_cache:
+        from .parallel import batch_sharding
+
+        cache_kw["sharding"] = batch_sharding(mesh)
+        cache_kw["shard_corpus"] = shard_corpus
 
     def _train_loader_from_array(arr, seed):
         if device_cache:
@@ -107,7 +117,7 @@ def _make_loader(args, exp, with_eval=False):
             # quantize: our pipelines produce [-1,1] images, so u8 storage
             # costs nothing real and quarters the HBM + tunnel upload
             return DeviceCacheLoader(arr, exp.batch_size, seed=seed,
-                                     quantize=True, progress=True)
+                                     **cache_kw)
         return DataLoader(ArrayDataset(np.asarray(arr)), exp.batch_size,
                           seed=seed, shuffle=True)
 
@@ -120,7 +130,7 @@ def _make_loader(args, exp, with_eval=False):
 
         arr = materialize_corpus(loader, progress=True)
         return DeviceCacheLoader(arr, exp.batch_size, seed=exp.seed,
-                                 quantize=True, progress=True)
+                                 **cache_kw)
 
     if args.data == "synthetic":
         train = _train_loader_from_array(
@@ -201,8 +211,6 @@ def cmd_train(args):
             "train": {**exp.train.to_dict(), "loss_weighting": args.loss_weighting},
         })
     model, sched = _build(exp)
-    loader, eval_loader = _make_loader(
-        args, exp, with_eval=bool(getattr(args, "eval_every", 0)))
 
     mesh = None
     if getattr(args, "mesh", "none") != "none":
@@ -213,6 +221,9 @@ def cmd_train(args):
 
         mesh = make_mesh()
         print(f"[MESH] {args.mesh} over {mesh.devices.size} devices")
+
+    loader, eval_loader = _make_loader(
+        args, exp, with_eval=bool(getattr(args, "eval_every", 0)), mesh=mesh)
 
     def sample_fn(model_, params_, sched_, *, n, img_size, save_path, seed):
         # returns per-sample [0,1] images so the loop can score rFID
@@ -531,6 +542,11 @@ def main(argv=None):
                          "hosts; costs corpus_bytes/4 of HBM). zip/hf/"
                          "celeba decode the whole corpus once up front; "
                          "implies --preload for blobs.")
+    sp.add_argument("--device-cache-sharded", action="store_true",
+                    help="like --device-cache, but the corpus SHARDS over "
+                         "the mesh's data axis (corpus_bytes/n_devices of "
+                         "HBM per chip; cross-shard batch rows ride ICI). "
+                         "Requires --mesh.")
     sp.add_argument("--epochs", type=int)
     sp.add_argument("--max-batches", type=int)
     sp.add_argument("--ckpt-dir", default="checkpoints")

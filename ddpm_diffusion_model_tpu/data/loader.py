@@ -237,12 +237,17 @@ class DeviceCacheLoader:
     With ``sharding`` (a batch `NamedSharding`), the corpus is uploaded
     REPLICATED over the sharding's mesh and each gathered batch is
     constrained to the batch sharding — correct for DP, at n_devices x the
-    HBM cost.  Sharding the corpus itself over the mesh is future work.
+    HBM cost.  ``shard_corpus=True`` removes that multiplier: the corpus
+    shards over the batch axis of ``sharding`` (each chip stores corpus/D;
+    wrap-padded to divisibility, the pad rows are never indexed) and the
+    jitted gather lets GSPMD move cross-shard rows over ICI — per-step
+    traffic is still just one batch.
     """
 
     def __init__(self, data, batch_size: int, *, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0, sharding=None,
-                 dtype=None, quantize: bool = False, progress: bool = False):
+                 dtype=None, quantize: bool = False, progress: bool = False,
+                 shard_corpus: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -277,13 +282,36 @@ class DeviceCacheLoader:
         self.seed = seed
         self.sharding = sharding
         self._epoch = 0
+        if shard_corpus and sharding is None:
+            raise ValueError("shard_corpus=True needs a batch `sharding` "
+                             "(it defines the mesh axis to shard over)")
         if sharding is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
-            corpus_sh = NamedSharding(sharding.mesh, P())
+            if shard_corpus:
+                axis = sharding.spec[0]
+                if axis is None:
+                    raise ValueError(
+                        "shard_corpus=True: the batch sharding's leading "
+                        "spec entry must name a mesh axis")
+                D = int(sharding.mesh.shape[axis])
+                pad = (-arr.shape[0]) % D
+                if pad:  # wrap-pad; __iter__ never draws indices >= self.n
+                    arr = np.concatenate([arr, arr[:pad]], axis=0)
+                corpus_sh = NamedSharding(sharding.mesh, P(axis))
+                if progress:
+                    print(f"[CACHE] sharding corpus over {axis!r} (x{D}): "
+                          f"{arr.nbytes / 1e6 / D:.0f} MB/device", flush=True)
+                self.corpus = jax.make_array_from_callback(
+                    arr.shape, corpus_sh, lambda idx: arr[idx])
+                self.corpus.block_until_ready()
+                corpus_sh = None  # uploaded; skip the chunked path below
+            else:
+                corpus_sh = NamedSharding(sharding.mesh, P())
         else:
             corpus_sh = None
-        self.corpus = _chunked_upload(arr, corpus_sh, progress=progress)
+        if not (shard_corpus and sharding is not None):
+            self.corpus = _chunked_upload(arr, corpus_sh, progress=progress)
 
         @jax.jit
         def _gather(corpus, idx):

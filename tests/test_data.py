@@ -389,3 +389,40 @@ def test_zip_loader_hq_no_crop(tmp_path):
     assert x.shape == (4, 128, 128, 3)
     # the white corner survives (and maps to +1 after normalize)
     assert float(x[:, :3, :3].mean()) > 0.95
+
+
+def test_device_cache_sharded_corpus():
+    """shard_corpus=True: each device stores corpus/D rows, yet gathered
+    batches (which cross shard boundaries under shuffle) equal the
+    replicated loader's bit-for-bit."""
+    import jax
+
+    from ddpm_diffusion_model_tpu.data import DeviceCacheLoader
+    from ddpm_diffusion_model_tpu.parallel import batch_sharding, make_mesh
+
+    mesh = make_mesh()
+    shd = batch_sharding(mesh)
+    D = mesh.shape["data"]
+    rng = np.random.default_rng(4)
+    # 36 % 8 != 0 -> exercises the wrap-pad
+    arr = rng.random((36, 4, 4, 3)).astype(np.float32) * 2 - 1
+
+    rep = DeviceCacheLoader(arr, 8, shuffle=True, seed=9, sharding=shd)
+    sh = DeviceCacheLoader(arr, 8, shuffle=True, seed=9, sharding=shd,
+                           shard_corpus=True)
+    # each device holds only its slice (padded N / D rows)
+    padded = 36 + (-36) % D
+    shard_rows = {s.data.shape[0] for s in sh.corpus.addressable_shards}
+    assert shard_rows == {padded // D}
+    for (a, _), (b, _) in zip(rep, sh):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        assert b.sharding.is_equivalent_to(shd, b.ndim)
+
+    # quantize composes
+    q = DeviceCacheLoader(arr, 8, shuffle=False, sharding=shd,
+                          quantize=True, shard_corpus=True)
+    x, _ = next(iter(q))
+    np.testing.assert_allclose(np.asarray(x), arr[:8], atol=1.01 / 255)
+
+    with pytest.raises(ValueError, match="needs a batch"):
+        DeviceCacheLoader(arr, 8, shard_corpus=True)
