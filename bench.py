@@ -25,6 +25,8 @@ BASELINES = {
     # the attention row (32.5M vs 31.3M params) — vs_baseline compares
     # against the reference's only architecture for that task
     "dit": 256.0,
+    # MoE-DiT-S/4 (8 experts, switch top-1): same task/batch, ~103M params
+    "dit_moe": 256.0,
 }
 
 
@@ -55,6 +57,10 @@ def bench_sampling(args):
         from ddpm_diffusion_model_tpu.models import dit_s4_64_config
 
         mcfg, res, n, dyn = dit_s4_64_config(), 64, 36, None
+    elif args.config == "dit_moe":
+        from ddpm_diffusion_model_tpu.models import dit_moe_64_config
+
+        mcfg, res, n, dyn = dit_moe_64_config(), 64, 36, None
     else:
         mcfg, res, n, dyn = unet_64x64_config(), 64, 36, None
     if args.batch:
@@ -117,7 +123,7 @@ def bench_sampling(args):
         results["dpmpp20_samples_per_s"] = reps * n / (time.perf_counter() - t0)
         assert np.isfinite(np.asarray(x)).all()
 
-    if args.sampler in ("fast", "both") and args.config == "dit":
+    if args.sampler in ("fast", "both") and args.config.startswith("dit"):
         # encoder-cached sampling is U-Net-only (DiT has no encoder/decoder
         # split); crashing here would discard the timings measured above
         if args.sampler == "fast":
@@ -215,6 +221,11 @@ def main():
 
         mcfg, res, batch, accum, ema = dit_s4_64_config(), 64, 128, 1, 0.9997
         metric = "train_imgs_per_s_celeba64_dit_s4"
+    elif args.config == "dit_moe":
+        from ddpm_diffusion_model_tpu.models import dit_moe_64_config
+
+        mcfg, res, batch, accum, ema = dit_moe_64_config(), 64, 128, 1, 0.9997
+        metric = "train_imgs_per_s_celeba64_dit_moe"
     elif args.config == "low":
         mcfg, res, batch, accum, ema = unet_64x64_low_config(), 64, 32, 1, 0.9995
         metric = "train_imgs_per_s_celeba64_low"
@@ -233,7 +244,7 @@ def main():
     else:
         use_remat = False if args.remat is None else args.remat == "on"
     model_kw = {}
-    if args.config != "dit":  # UNet-only constructor knobs
+    if not args.config.startswith("dit"):  # UNet-only constructor knobs
         model_kw["fused_gn"] = args.fused_gn
         if args.dropout_impl:
             model_kw["dropout_impl"] = args.dropout_impl

@@ -3,9 +3,11 @@ from .dit import (  # noqa: F401
     DiTConfig,
     DiTDenoiser,
     dit_b4_64_config,
+    dit_moe_64_config,
     dit_s4_256_config,
     dit_s4_64_config,
 )
+from .moe import MoEMlp  # noqa: F401
 from .embeddings import TimeMLP, sinusoidal_time_embedding  # noqa: F401
 from .unet import (  # noqa: F401
     UNetConfig,

@@ -41,7 +41,7 @@ from ..ops.attention import multi_head_attention
 from .embeddings import sinusoidal_time_embedding
 
 __all__ = ["DiTConfig", "DiTDenoiser", "dit_s4_64_config",
-           "dit_b4_64_config", "dit_s4_256_config"]
+           "dit_b4_64_config", "dit_s4_256_config", "dit_moe_64_config"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -57,6 +57,12 @@ class DiTConfig:
     mlp_ratio: float = 4.0
     dropout: float = 0.0
     time_embed_dim: int = 256
+    # MoE (0 = dense MLP): every block's MLP becomes a switch-routed
+    # mixture of num_experts expert MLPs (models/moe.py) — the expert-
+    # parallelism seam (parallel/ep.py)
+    num_experts: int = 0
+    capacity_factor: float = 1.25
+    moe_aux_weight: float = 0.01
 
     @property
     def seq_len(self) -> int:
@@ -97,7 +103,10 @@ def _posemb_2d_sincos(h: int, w: int, dim: int) -> np.ndarray:
 class DiTBlock(nn.Module):
     """One transformer block with adaLN-Zero modulation.
 
-    ``__call__(tokens, c) -> (tokens, None)`` — the scan-body signature.
+    ``__call__(tokens, c) -> (tokens, aux)`` — the scan-body signature;
+    ``aux`` is ``None`` for the dense MLP and the scalar fp32 load-balance
+    loss when the MLP is a mixture of experts (``num_experts > 0``), so
+    ``nn.scan`` stacks per-layer aux losses into its ys-output for free.
     ``c`` is the fp32 conditioning vector (time embedding through the MLP).
     """
 
@@ -109,6 +118,8 @@ class DiTBlock(nn.Module):
     attn_impl: str
     dtype: jnp.dtype
     param_dtype: jnp.dtype
+    num_experts: int = 0
+    capacity_factor: float = 1.25
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray):
@@ -147,13 +158,24 @@ class DiTBlock(nn.Module):
         x = x + (g1 * att.astype(jnp.float32)).astype(x.dtype)
 
         h = (ln(x) * (1.0 + sc2) + sh2).astype(self.dtype)
-        h = nn.Dense(int(H * self.mlp_ratio), name="fc1", **kw)(h)
-        h = nn.gelu(h, approximate=True)
-        h = nn.Dense(H, name="fc2", **kw)(h)
+        if self.num_experts:
+            from .moe import MoEMlp
+
+            h, aux = MoEMlp(
+                hidden_size=H, mlp_dim=int(H * self.mlp_ratio),
+                num_experts=self.num_experts,
+                capacity_factor=self.capacity_factor,
+                dtype=self.dtype, param_dtype=self.param_dtype,
+                name="moe")(h)
+        else:
+            aux = None
+            h = nn.Dense(int(H * self.mlp_ratio), name="fc1", **kw)(h)
+            h = nn.gelu(h, approximate=True)
+            h = nn.Dense(H, name="fc2", **kw)(h)
         if self.dropout > 0.0:
             h = nn.Dropout(self.dropout, deterministic=self.deterministic)(h)
         x = x + (g2 * h.astype(jnp.float32)).astype(x.dtype)
-        return x, None
+        return x, aux
 
 
 class DiTDenoiser(nn.Module):
@@ -175,7 +197,8 @@ class DiTDenoiser(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *,
                  deterministic: bool = True, mode: str = "full",
-                 cached=None, return_features: bool = False) -> jnp.ndarray:
+                 cached=None, return_features: bool = False,
+                 return_aux: bool = False) -> jnp.ndarray:
         if mode != "full" or return_features:
             raise ValueError(
                 "encoder-cached sampling (mode/return_features) is U-Net-"
@@ -206,7 +229,9 @@ class DiTDenoiser(nn.Module):
         block_kw = dict(
             hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,
             mlp_ratio=cfg.mlp_ratio, dropout=cfg.dropout,
-            deterministic=deterministic, attn_impl=self.attn_impl, **kw)
+            deterministic=deterministic, attn_impl=self.attn_impl,
+            num_experts=cfg.num_experts,
+            capacity_factor=cfg.capacity_factor, **kw)
         Block = nn.remat(DiTBlock) if self.remat else DiTBlock
         if self.scan_blocks:
             ScanBlocks = nn.scan(
@@ -217,10 +242,18 @@ class DiTDenoiser(nn.Module):
                 length=cfg.depth,
                 metadata_params={nn.meta.PARTITION_NAME: None},
             )
-            tokens, _ = ScanBlocks(name="blocks", **block_kw)(tokens, c)
+            tokens, aux = ScanBlocks(name="blocks", **block_kw)(tokens, c)
         else:
+            auxes = []
             for i in range(cfg.depth):
-                tokens, _ = Block(name=f"block{i}", **block_kw)(tokens, c)
+                tokens, a = Block(name=f"block{i}", **block_kw)(tokens, c)
+                auxes.append(a)
+            aux = jnp.stack(auxes) if cfg.num_experts else None
+        # mean over layers — one scalar regardless of depth (Switch eq. 4
+        # applies the weight per layer; the mean keeps moe_aux_weight
+        # comparable across depths)
+        aux_total = (jnp.mean(aux.astype(jnp.float32))
+                     if cfg.num_experts else jnp.zeros((), jnp.float32))
 
         # final adaLN + zero-init projection back to pixels
         mods = nn.Dense(2 * cfg.hidden_size, dtype=jnp.float32,
@@ -237,7 +270,10 @@ class DiTDenoiser(nn.Module):
                        bias_init=nn.initializers.zeros)(h)
         out = out.reshape(B, hp, wp, p, p, cfg.in_channels)
         out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hi, Wi, cfg.in_channels)
-        return out.astype(in_dtype)
+        out = out.astype(in_dtype)
+        if return_aux:
+            return out, aux_total
+        return out
 
 
 def dit_s4_64_config(**overrides) -> DiTConfig:
@@ -255,6 +291,19 @@ def dit_b4_64_config(**overrides) -> DiTConfig:
     base = dict(in_channels=3, img_resolution=64, patch_size=4,
                 hidden_size=768, depth=12, num_heads=12, mlp_ratio=4.0,
                 dropout=0.0, time_embed_dim=256)
+    base.update(overrides)
+    return DiTConfig(**base)
+
+
+def dit_moe_64_config(**overrides) -> DiTConfig:
+    """MoE-DiT-S/4 at 64px: the S/4 backbone with every block's MLP a
+    switch-routed mixture of 8 experts (~103M params, ~22M active per
+    token) — the expert-parallelism config (parallel/ep.py shards the
+    expert axis over an ``expert`` mesh axis)."""
+    base = dict(in_channels=3, img_resolution=64, patch_size=4,
+                hidden_size=384, depth=12, num_heads=6, mlp_ratio=4.0,
+                dropout=0.0, time_embed_dim=256, num_experts=8,
+                capacity_factor=1.25, moe_aux_weight=0.01)
     base.update(overrides)
     return DiTConfig(**base)
 

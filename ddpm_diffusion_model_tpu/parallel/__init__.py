@@ -11,6 +11,12 @@ from .sharding import (  # noqa: F401
     put_global,
     state_sharding,
 )
+from .ep import (  # noqa: F401
+    ep_param_specs,
+    expert_parallel_mesh,
+    place_params_ep,
+    shard_experts,
+)
 from .pp import (  # noqa: F401
     PipelinedDiT,
     dit_apply_pipelined,

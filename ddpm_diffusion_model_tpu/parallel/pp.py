@@ -155,6 +155,11 @@ def dit_apply_pipelined(model, params: Any, x: jnp.ndarray, t: jnp.ndarray,
     if cfg.dropout:
         raise ValueError("pipelined apply is deterministic — dropout>0 "
                          "configs must sample/evaluate with dropout off")
+    if getattr(cfg, "num_experts", 0):
+        raise ValueError("pipeline stages assume the dense-MLP block; "
+                         "MoE configs parallelize over the 'expert' axis "
+                         "instead (parallel/ep.py) — PP x EP staging is "
+                         "not supported")
     if not model.scan_blocks:
         raise ValueError("pipeline needs scan_blocks=True (stacked params)")
     if model.attn_impl == "ring":

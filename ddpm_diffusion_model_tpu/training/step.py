@@ -66,19 +66,38 @@ def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule, weight_fn=None,
     wires up; here it is a first-class TrainConfig knob (see
     :func:`resolve_weight_fn` for the built-in schemes)."""
 
+    # MoE models (DiTConfig.num_experts > 0) return a router load-balance
+    # loss alongside eps; add it with the config's weight.  loss_simple
+    # calls eps_fn exactly once, so the trace-time stash is sound.
+    mcfg = getattr(model, "config", None)
+    aux_weight = (float(getattr(mcfg, "moe_aux_weight", 0.0))
+                  if getattr(mcfg, "num_experts", 0) else 0.0)
+
     def loss_fn(params, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
         kt, kn, kd = jax.random.split(key, 3)
         kd = _dropout_key(kd, dropout_rng_impl)
         t = sample_timesteps(kt, x.shape[0], sched.T)
         noise = jax.random.normal(kn, x.shape, dtype=jnp.float32)
+        aux_box = []
 
         def eps_fn(x_t, tt):
+            if aux_weight:
+                eps, aux = model.apply(
+                    params, x_t, tt, deterministic=False,
+                    rngs={"dropout": kd}, return_aux=True,
+                )
+                aux_box.append(aux)
+                return eps
             return model.apply(
                 params, x_t, tt, deterministic=False, rngs={"dropout": kd}
             )
 
         weight = weight_fn(t, sched) if weight_fn is not None else None
-        return loss_simple(sched, eps_fn, x, t, noise, weight=weight)
+        loss = loss_simple(sched, eps_fn, x, t, noise, weight=weight)
+        if aux_weight:
+            (aux,) = aux_box
+            loss = loss + aux_weight * aux
+        return loss
 
     return loss_fn
 

@@ -128,11 +128,30 @@ def _preset_dit() -> ExperimentConfig:
     )
 
 
+def _preset_dit_moe() -> ExperimentConfig:
+    """Beyond-reference: MoE-DiT-S/4 (8 experts, switch top-1 routing,
+    models/moe.py) — the expert-parallelism config.  ~103M params with the
+    per-token compute of the dense S/4; shard the expert axis over an
+    ``expert`` mesh axis via parallel/ep.py."""
+    from ..models.dit import dit_moe_64_config
+
+    return ExperimentConfig(
+        model=dit_moe_64_config(),
+        diffusion=DiffusionConfig(
+            T=1000, schedule="linear", img_size=64, dynamic_threshold=0.95
+        ),
+        train=TrainConfig(base_lr=2e-4, warmup_steps=1000, grad_accum_steps=1,
+                          ema_decay=0.9997),
+        run_name="celeba64_dit_moe", img_size=64, batch_size=128, epochs=50,
+    )
+
+
 PRESETS = {
     "celeba64_low": _preset_low,
     "celeba64_attn": _preset_attn,
     "celebahq256": _preset_hq256,
     "celeba64_dit_s4": _preset_dit,
+    "celeba64_dit_moe": _preset_dit_moe,
 }
 
 

@@ -102,7 +102,15 @@ def dit_fwd_flops(cfg, batch: int) -> int:
     N, H, L = cfg.seq_len, cfg.hidden_size, cfg.depth
     r = cfg.mlp_ratio
     pc = cfg.patch_size * cfg.patch_size * cfg.in_channels
-    per_block = N * H * H * (8 + 4 * r) + 4 * N * N * H + 12 * H * H
+    E = getattr(cfg, "num_experts", 0)
+    if E:
+        # switch MoE (models/moe.py): router + E*C executed expert slots
+        # (capacity padding IS executed MXU work) + dispatch/combine einsums
+        C = max(1, -(-int(N * cfg.capacity_factor) // E))
+        mlp = 2 * N * H * E + 4 * r * H * H * E * C + 4 * N * E * C * H
+    else:
+        mlp = 4 * r * N * H * H
+    per_block = 8 * N * H * H + mlp + 4 * N * N * H + 12 * H * H
     f = 2 * N * pc * H                      # patchify
     f += 2 * (cfg.time_embed_dim * H + H * H)  # conditioning MLP
     f += L * per_block
