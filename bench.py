@@ -179,6 +179,11 @@ def main():
     ap.add_argument("--warmup", type=int, default=3)
     ap.add_argument("--batch", type=int, help="override batch size")
     ap.add_argument("--accum", type=int, help="override grad-accum steps")
+    ap.add_argument("--attn", choices=["auto", "xla", "pallas", "ring"],
+                    default="auto",
+                    help="attention dispatch override (pallas avoids "
+                         "materializing fp32 probs for the backward — the "
+                         "memory lever for transformer configs)")
     ap.add_argument("--remat", choices=["on", "off", "masks"],
                     help="override remat ('masks' = targeted policy that "
                          "regenerates only dropout bits in the backward)")
@@ -241,8 +246,14 @@ def main():
         accum = args.accum
     if args.remat == "masks":
         use_remat = "masks"
+    elif args.remat is None:
+        # both DiT configs OOM at batch 128 without remat (dense: 16.8G —
+        # fp32 SDPA probs; MoE: 20.7G — per-layer expert activations) and
+        # block remat beats every fitting alternative measured
+        # (docs/BENCH.md "DiT family"); the U-Net stays remat-free
+        use_remat = args.config.startswith("dit")
     else:
-        use_remat = False if args.remat is None else args.remat == "on"
+        use_remat = args.remat == "on"
     model_kw = {}
     if not args.config.startswith("dit"):  # UNet-only constructor knobs
         model_kw["fused_gn"] = args.fused_gn
@@ -251,7 +262,7 @@ def main():
     from ddpm_diffusion_model_tpu.models import build_denoiser
 
     model = build_denoiser(mcfg, dtype=jnp.bfloat16, remat=use_remat,
-                           **model_kw)
+                           attn_impl=args.attn, **model_kw)
     dyn = 0.995 if args.config == "hq256" else None
     sched = make_schedule(
         DiffusionConfig(T=1000, schedule="linear", img_size=res, dynamic_threshold=dyn)
