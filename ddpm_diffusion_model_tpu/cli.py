@@ -98,8 +98,17 @@ def _make_loader(args, exp, with_eval=False, mesh=None):
         get_celeba_loaders,
     )
 
+    nc = int(getattr(exp.model, "num_classes", 0))
     shard_corpus = bool(getattr(args, "device_cache_sharded", False))
     device_cache = bool(getattr(args, "device_cache", False)) or shard_corpus
+    if nc and device_cache:
+        sys.exit("error: --device-cache corpora are unlabeled; conditional "
+                 "models (num_classes > 0) need a labeled loader — drop the "
+                 "cache flag (blobs/synthetic label themselves)")
+    if nc and args.data in ("zip", "hf", "celeba"):
+        sys.exit(f"error: --data {args.data} has no labels; conditional "
+                 "models train on labeled sources (--data blobs assigns "
+                 "class hues, --data synthetic assigns smoke labels)")
     if shard_corpus and mesh is None:
         sys.exit("--device-cache-sharded needs --mesh (the corpus shards "
                  "over the mesh's data axis)")
@@ -132,12 +141,24 @@ def _make_loader(args, exp, with_eval=False, mesh=None):
         return DeviceCacheLoader(arr, exp.batch_size, seed=exp.seed,
                                  **cache_kw)
 
+    def _smoke_labels(n):
+        return (np.arange(n, dtype=np.int64) % nc) if nc else None
+
     if args.data == "synthetic":
-        train = _train_loader_from_array(
-            _synthetic_array(exp, args.synthetic_size, exp.seed), exp.seed)
+        if nc:
+            n = args.synthetic_size
+            train = DataLoader(
+                ArrayDataset(np.asarray(_synthetic_array(exp, n, exp.seed)),
+                             _smoke_labels(n)),
+                exp.batch_size, seed=exp.seed, shuffle=True)
+        else:
+            train = _train_loader_from_array(
+                _synthetic_array(exp, args.synthetic_size, exp.seed),
+                exp.seed)
+        n_eval = _eval_set_size(args, exp)
         val = DataLoader(
-            ArrayDataset(_synthetic_array(exp, _eval_set_size(args, exp),
-                                          exp.seed + 777)),
+            ArrayDataset(_synthetic_array(exp, n_eval, exp.seed + 777),
+                         _smoke_labels(n_eval)),
             exp.batch_size, shuffle=False) if with_eval else None
         return train, val
     if args.data == "blobs":
@@ -145,7 +166,15 @@ def _make_loader(args, exp, with_eval=False, mesh=None):
         # stand-in for CelebA — real learning dynamics without egress
         from .data import BlobFacesDataset
 
-        if getattr(args, "preload", False) or device_cache:
+        if nc and getattr(args, "preload", False):
+            # labeled preload: render once, keep the (img, label) pairing
+            ds = BlobFacesDataset(args.synthetic_size, img_size=exp.img_size,
+                                  seed=exp.seed, num_classes=nc)
+            arr = np.stack([ds[i][0] for i in range(len(ds))])
+            train = DataLoader(
+                ArrayDataset(arr, _smoke_labels(len(ds))),
+                exp.batch_size, seed=exp.seed, shuffle=True)
+        elif getattr(args, "preload", False) or device_cache:
             # render the whole corpus to RAM once (~50 MB per 1k 64px
             # images): per-item python rendering (~400 imgs/s) would
             # otherwise starve a chip that trains at 1000+ imgs/s.
@@ -157,7 +186,7 @@ def _make_loader(args, exp, with_eval=False, mesh=None):
             train = _train_loader_from_array(arr, exp.seed)
         else:
             ds = BlobFacesDataset(args.synthetic_size, img_size=exp.img_size,
-                                  seed=exp.seed)
+                                  seed=exp.seed, num_classes=nc)
             train = DataLoader(ds, exp.batch_size, seed=exp.seed, shuffle=True)
         val = None
         if with_eval:
@@ -172,7 +201,7 @@ def _make_loader(args, exp, with_eval=False, mesh=None):
             else:
                 val_ds = BlobFacesDataset(_eval_set_size(args, exp),
                                           img_size=exp.img_size,
-                                          seed=exp.seed + 777)
+                                          seed=exp.seed + 777, num_classes=nc)
                 val = DataLoader(val_ds, exp.batch_size, shuffle=False)
         return train, val
     if args.data == "zip":
@@ -239,11 +268,21 @@ def cmd_train(args):
 
     fid_ref = None
     if args.data == "blobs" and not args.no_samples:
-        # held-out reference set (disjoint seed) for per-epoch rFID scoring
-        from .data import blob_faces_array
+        # held-out reference set (disjoint seed) for per-epoch rFID scoring;
+        # conditional runs render the reference from the SAME labeled
+        # distribution (class-hued backgrounds) the model trains on
+        nc = int(getattr(exp.model, "num_classes", 0))
+        if nc:
+            from .data import BlobFacesDataset
 
-        fid_ref = blob_faces_array(128, img_size=exp.img_size,
-                                   seed=exp.seed + 999)
+            ds = BlobFacesDataset(128, img_size=exp.img_size,
+                                  seed=exp.seed + 999, num_classes=nc)
+            fid_ref = np.stack([ds[i][0] for i in range(128)])
+        else:
+            from .data import blob_faces_array
+
+            fid_ref = blob_faces_array(128, img_size=exp.img_size,
+                                       seed=exp.seed + 999)
 
     if getattr(args, "eval_every", 0) and eval_loader is None:
         print(f"[EVAL] no validation split for --data {args.data};"
@@ -285,11 +324,45 @@ def cmd_train(args):
     print(json.dumps(out))
 
 
+def _class_vec(args, exp):
+    """``--class-id`` value: None | int (whole grid) | 'all' (cycle every
+    class across the grid rows) -> the ``class_id`` arg of the samplers."""
+    cid = getattr(args, "class_id", None)
+    if cid is None:
+        if getattr(args, "guidance", 1.0) != 1.0:
+            sys.exit("error: --guidance needs --class-id (what to guide "
+                     "toward); use --class-id all for a class-cycled grid")
+        return None
+    nc = int(getattr(exp.model, "num_classes", 0))
+    if not nc:
+        sys.exit("error: --class-id needs a class-conditional checkpoint "
+                 "(model.num_classes > 0)")
+    if getattr(args, "sharded", False):
+        sys.exit("error: --class-id with --sharded is not supported — drop "
+                 "--sharded (single-chip CFG) for now")
+    if getattr(args, "refresh_every", 0) > 1:
+        sys.exit("error: --class-id with --refresh-every (encoder-cached "
+                 "sampling) is not supported")
+    if cid == "all":
+        return np.arange(args.n, dtype=np.int32) % nc
+    k = int(cid)
+    if not 0 <= k < nc:
+        sys.exit(f"error: --class-id {k} out of range [0, {nc})")
+    return k
+
+
+def _cfg_msg(args):
+    if getattr(args, "class_id", None) is None:
+        return ""
+    return f" (class={args.class_id}, guidance={args.guidance})"
+
+
 def cmd_sample_ddpm(args):
     from .sampling import ddpm_infer_sample
 
     exp = _exp_from_args(args)
     model, sched, state, _ = _load_state(args.ckpt, exp)
+    cls = _class_vec(args, exp)
     if getattr(args, "sharded", False):
         from .parallel import make_mesh
         from .sampling import sample_grid_sharded
@@ -306,8 +379,9 @@ def cmd_sample_ddpm(args):
         model, state.params, sched, n=args.n, img_size=exp.img_size,
         ema_params=state.ema_params if args.ema else None,
         out_path=args.out, seed=args.seed, save_individual=args.individual,
+        class_id=cls, guidance=args.guidance,
     )
-    print(f"[INFER] grid -> {args.out}")
+    print(f"[INFER] grid -> {args.out}{_cfg_msg(args)}")
 
 
 def cmd_sample_ddim(args):
@@ -315,6 +389,7 @@ def cmd_sample_ddim(args):
 
     exp = _exp_from_args(args)
     model, sched, state, _ = _load_state(args.ckpt, exp)
+    cls = _class_vec(args, exp)
     if getattr(args, "sharded", False):
         from .parallel import make_mesh
         from .sampling import sample_grid_sharded
@@ -355,8 +430,10 @@ def cmd_sample_ddim(args):
         ema_params=state.ema_params if args.ema else None,
         out_path=args.out, seed=args.seed, steps=args.steps, eta=args.eta,
         schedule_kind=args.schedule, save_individual=args.individual,
+        class_id=cls, guidance=args.guidance,
     )
-    print(f"[INFER-DDIM] grid -> {args.out} (steps={args.steps}, eta={args.eta})")
+    print(f"[INFER-DDIM] grid -> {args.out} (steps={args.steps},"
+          f" eta={args.eta}){_cfg_msg(args)}")
 
 
 def cmd_sample_dpmpp(args):
@@ -364,6 +441,7 @@ def cmd_sample_dpmpp(args):
 
     exp = _exp_from_args(args)
     model, sched, state, _ = _load_state(args.ckpt, exp)
+    cls = _class_vec(args, exp)
     if getattr(args, "sharded", False):
         from .parallel import make_mesh
         from .sampling import sample_grid_sharded
@@ -383,8 +461,10 @@ def cmd_sample_dpmpp(args):
         ema_params=state.ema_params if args.ema else None,
         out_path=args.out, seed=args.seed, steps=args.steps,
         schedule_kind=args.schedule, save_individual=args.individual,
+        class_id=cls, guidance=args.guidance,
     )
-    print(f"[INFER-DPM++] grid -> {args.out} (steps={args.steps})")
+    print(f"[INFER-DPM++] grid -> {args.out} (steps={args.steps})"
+          f"{_cfg_msg(args)}")
 
 
 def cmd_strip(args):
@@ -417,8 +497,12 @@ def cmd_eval(args):
 
     exp = _exp_from_args(args)
     model, sched, state, meta = _load_state(args.ckpt, exp)
+    nc = int(getattr(exp.model, "num_classes", 0))
     n_eval = max(args.eval_size // exp.batch_size, 1) * exp.batch_size
     if args.data == "celeba":
+        if nc:
+            sys.exit("error: --data celeba has no labels; evaluate "
+                     "conditional checkpoints with --data blobs/synthetic")
         from .data import get_celeba_loaders
 
         _tr, eval_loader, _te = get_celeba_loaders(
@@ -429,21 +513,25 @@ def cmd_eval(args):
 
         eval_loader = DataLoader(
             BlobFacesDataset(n_eval, img_size=exp.img_size,
-                             seed=exp.seed + 777),
+                             seed=exp.seed + 777, num_classes=nc),
             exp.batch_size, shuffle=False)
     else:  # synthetic
         from .data import ArrayDataset, DataLoader
 
+        labels = (np.arange(n_eval, dtype=np.int64) % nc) if nc else None
         eval_loader = DataLoader(
-            ArrayDataset(_synthetic_array(exp, n_eval, exp.seed + 777)),
+            ArrayDataset(_synthetic_array(exp, n_eval, exp.seed + 777),
+                         labels),
             exp.batch_size, shuffle=False)
 
     eval_fn = make_eval_step(model, sched)
     out = {
         "ckpt": args.ckpt,
         "global_step": meta.get("global_step"),
-        "val_loss": evaluate_loss(eval_fn, state.params, eval_loader),
-        "val_loss_ema": evaluate_loss(eval_fn, state.ema_params, eval_loader),
+        "val_loss": evaluate_loss(eval_fn, state.params, eval_loader,
+                                  labeled=bool(nc)),
+        "val_loss_ema": evaluate_loss(eval_fn, state.ema_params, eval_loader,
+                                      labeled=bool(nc)),
     }
     if args.rfid_n:
         samples = ddpm_sample(model, state.ema_params, sched, args.rfid_n,
@@ -581,6 +669,17 @@ def main(argv=None):
                          "(recover a healthy-but-lagging shadow)")
     sp.set_defaults(fn=cmd_train)
 
+    def cfg_args(sp):
+        """class-conditional sampling knobs (conditional checkpoints only)."""
+        sp.add_argument("--class-id", default=None, metavar="K|all",
+                        help="class to sample (int), or 'all' to cycle every "
+                             "class across the grid; needs a conditional "
+                             "checkpoint (model.num_classes > 0)")
+        sp.add_argument("--guidance", type=float, default=1.0, metavar="W",
+                        help="classifier-free guidance scale: 1 = plain "
+                             "conditional, 0 = unconditional, >1 amplifies "
+                             "the class (typ. 1.5-5)")
+
     sp = sub.add_parser("sample-ddpm")
     common(sp, ckpt_required=True)
     sp.add_argument("--n", type=int, default=36)
@@ -588,6 +687,7 @@ def main(argv=None):
     sp.add_argument("--individual", action="store_true")
     sp.add_argument("--sharded", action="store_true",
                     help="shard the batch over all devices (SPMD sampling)")
+    cfg_args(sp)
     sp.set_defaults(fn=cmd_sample_ddpm)
 
     sp = sub.add_parser("sample-ddim")
@@ -605,6 +705,7 @@ def main(argv=None):
                     help="encoder-cached fast DDIM: recompute encoder "
                          "features every K steps, decoder-only between "
                          "(0/1 = full model every step)")
+    cfg_args(sp)
     sp.set_defaults(fn=cmd_sample_ddim)
 
     sp = sub.add_parser(
@@ -620,6 +721,7 @@ def main(argv=None):
     sp.add_argument("--individual", action="store_true")
     sp.add_argument("--sharded", action="store_true",
                     help="shard the batch over all devices (SPMD sampling)")
+    cfg_args(sp)
     sp.set_defaults(fn=cmd_sample_dpmpp)
 
     sp = sub.add_parser("strip")

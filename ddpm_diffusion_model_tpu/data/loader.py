@@ -347,11 +347,15 @@ class DeviceCacheLoader:
             yield self._gather(self.corpus, jnp.asarray(sel)), None
 
 
-def device_prefetch(iterator, size: int = 2, sharding=None):
+def device_prefetch(iterator, size: int = 2, sharding=None,
+                    put_labels: bool = False, label_sharding=None):
     """Move batches to device ahead of consumption (double/triple buffer).
 
     ``sharding`` (e.g. ``batch_sharding(mesh)``) places each batch directly
     into its DP layout; transfers overlap with the running step.
+    ``put_labels`` also device_puts the label half of ``(x, y)`` items
+    (with ``label_sharding`` when given) — conditional training; by default
+    labels pass through untouched on the host.
     """
     import collections
 
@@ -362,6 +366,10 @@ def device_prefetch(iterator, size: int = 2, sharding=None):
     def put(item):
         x, y = item if isinstance(item, tuple) else (item, None)
         xd = jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
+        if put_labels and y is not None:
+            y = np.asarray(y, dtype=np.int32)
+            y = (jax.device_put(y, label_sharding)
+                 if label_sharding is not None else jax.device_put(y))
         return (xd, y)
 
     it = iter(iterator)

@@ -26,13 +26,37 @@ def _smooth_mask(d2: np.ndarray, radius: float, softness: float) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(np.clip((d - radius) / max(softness, 1e-4), -30, 30)))
 
 
-def render_blob_face(size: int, rng: np.random.Generator) -> np.ndarray:
-    """One (size, size, 3) float32 image in [-1, 1]."""
+def _class_hue_rgb(class_id: int, num_classes: int) -> np.ndarray:
+    """Class k's anchor color: hue k/num_classes on the HSV wheel (s=0.75,
+    v=0.8) — maximally separated, so a classifier-free-guidance sample's
+    class is visible at a glance."""
+    h = (float(class_id) / max(num_classes, 1)) * 6.0
+    c, x = 0.6, 0.6 * (1 - abs(h % 2 - 1))
+    sector = [(c, x, 0), (x, c, 0), (0, c, x), (0, x, c), (x, 0, c), (c, 0, x)]
+    r, g, b = sector[int(h) % 6]
+    m = 0.8 - c
+    return np.array([r + m, g + m, b + m], np.float32)
+
+
+def render_blob_face(size: int, rng: np.random.Generator,
+                     class_id: int = None, num_classes: int = 0) -> np.ndarray:
+    """One (size, size, 3) float32 image in [-1, 1].
+
+    With ``class_id``/``num_classes`` the background gradient anchors on the
+    class hue (jittered +-0.08) instead of being fully random — the labeled
+    variant for conditional training: the label is a visible attribute, so
+    CFG sampling can be checked by eye and by pixel statistics."""
     yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size  # [0,1]^2
 
     # background: smooth vertical color gradient
-    bg_top = rng.uniform(0.1, 0.9, size=3).astype(np.float32)
-    bg_bot = rng.uniform(0.1, 0.9, size=3).astype(np.float32)
+    if class_id is not None:
+        anchor = _class_hue_rgb(class_id, num_classes)
+        bg_top = np.clip(anchor + rng.uniform(-0.08, 0.08, 3), 0, 1).astype(np.float32)
+        bg_bot = np.clip(anchor * rng.uniform(0.55, 0.75) +
+                         rng.uniform(-0.05, 0.05, 3), 0, 1).astype(np.float32)
+    else:
+        bg_top = rng.uniform(0.1, 0.9, size=3).astype(np.float32)
+        bg_bot = rng.uniform(0.1, 0.9, size=3).astype(np.float32)
     img = bg_top[None, None, :] * (1 - yy[..., None]) + bg_bot[None, None, :] * yy[..., None]
 
     # head: tinted ellipse, jittered center/scale/aspect
@@ -70,12 +94,19 @@ def render_blob_face(size: int, rng: np.random.Generator) -> np.ndarray:
 
 
 class BlobFacesDataset:
-    """Map-style dataset of procedural faces (``DataLoader``-compatible)."""
+    """Map-style dataset of procedural faces (``DataLoader``-compatible).
 
-    def __init__(self, n: int = 12800, img_size: int = 64, seed: int = 0):
+    ``num_classes > 0`` makes it a LABELED source: item ``i`` gets label
+    ``i % num_classes`` and is rendered with that class's background hue —
+    the zero-egress stand-in for a labeled dataset, used to train/test
+    class-conditional models and classifier-free guidance end to end."""
+
+    def __init__(self, n: int = 12800, img_size: int = 64, seed: int = 0,
+                 num_classes: int = 0):
         self.n = int(n)
         self.img_size = int(img_size)
         self.seed = int(seed)
+        self.num_classes = int(num_classes)
 
     def __len__(self) -> int:
         return self.n
@@ -84,6 +115,10 @@ class BlobFacesDataset:
         rng = np.random.default_rng(
             np.random.SeedSequence([self.seed, int(idx)])
         )
+        if self.num_classes:
+            y = int(idx) % self.num_classes
+            return render_blob_face(self.img_size, rng, class_id=y,
+                                    num_classes=self.num_classes), y
         return render_blob_face(self.img_size, rng), 0
 
 

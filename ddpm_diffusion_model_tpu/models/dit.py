@@ -63,6 +63,10 @@ class DiTConfig:
     num_experts: int = 0
     capacity_factor: float = 1.25
     moe_aux_weight: float = 0.01
+    # class-conditional generation (0 = unconditional): labels embed to
+    # hidden_size and add to the adaLN conditioning vector c; index
+    # num_classes is the learned NULL token for classifier-free guidance
+    num_classes: int = 0
 
     @property
     def seq_len(self) -> int:
@@ -195,7 +199,7 @@ class DiTDenoiser(nn.Module):
     scan_blocks: bool = True
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, *,
+    def __call__(self, x: jnp.ndarray, t: jnp.ndarray, y=None, *,
                  deterministic: bool = True, mode: str = "full",
                  cached=None, return_features: bool = False,
                  return_aux: bool = False) -> jnp.ndarray:
@@ -225,6 +229,18 @@ class DiTDenoiser(nn.Module):
                      param_dtype=self.param_dtype, name="t_fc1")(c)
         c = nn.Dense(cfg.hidden_size, dtype=jnp.float32,
                      param_dtype=self.param_dtype, name="t_fc2")(nn.silu(c))
+        # class conditioning: label embedding summed into c (the DiT paper's
+        # recipe); y=None on a conditional model means the NULL token
+        if cfg.num_classes:
+            if y is None:
+                y = jnp.full((B,), cfg.num_classes, jnp.int32)
+            c = c + nn.Embed(
+                cfg.num_classes + 1, cfg.hidden_size, dtype=jnp.float32,
+                param_dtype=self.param_dtype, name="class_emb",
+            )(jnp.asarray(y, jnp.int32))
+        elif y is not None:
+            raise ValueError("labels passed to an unconditional model "
+                             "(DiTConfig.num_classes == 0)")
 
         block_kw = dict(
             hidden_size=cfg.hidden_size, num_heads=cfg.num_heads,

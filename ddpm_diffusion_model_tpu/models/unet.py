@@ -24,7 +24,7 @@ encoder and decoder — the single-source-of-truth fix SURVEY.md §7 calls for.
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -53,6 +53,11 @@ class UNetConfig:
     num_heads: int = 4
     head_dim: int = 64
     img_resolution: int = 64
+    # class-conditional generation (0 = unconditional, parity with the
+    # reference's only mode): labels y in {0..num_classes-1} are embedded
+    # and added to the time embedding; index num_classes is the learned
+    # NULL token used for classifier-free guidance (Ho & Salimans 2022)
+    num_classes: int = 0
 
     def level_plan(self):
         """Per-level (resolution, out_ch, attn?) for the encoder, plus the
@@ -116,6 +121,7 @@ class UNetDenoiser(nn.Module):
         self,
         x: jnp.ndarray,
         t: jnp.ndarray,
+        y: Optional[jnp.ndarray] = None,
         *,
         deterministic: bool = True,
         mode: str = "full",
@@ -164,6 +170,19 @@ class UNetDenoiser(nn.Module):
         t_emb = sinusoidal_time_embedding(t, cfg.time_embed_dim)
         t_emb = TimeMLP(cfg.time_embed_dim, dtype=jnp.float32,
                         param_dtype=self.param_dtype, name="time_mlp")(t_emb)
+        # class conditioning: label embedding added to the time embedding
+        # (y=None on a conditional model means the NULL/unconditional token,
+        # so unconditional sampling needs no special-casing anywhere)
+        if cfg.num_classes:
+            if y is None:
+                y = jnp.full((x.shape[0],), cfg.num_classes, jnp.int32)
+            t_emb = t_emb + nn.Embed(
+                cfg.num_classes + 1, cfg.time_embed_dim, dtype=jnp.float32,
+                param_dtype=self.param_dtype, name="class_emb",
+            )(jnp.asarray(y, jnp.int32))
+        elif y is not None:
+            raise ValueError("labels passed to an unconditional model "
+                             "(UNetConfig.num_classes == 0)")
 
         in_dtype = x.dtype
         if mode == "decode":

@@ -142,9 +142,10 @@ def _dense(tree: Any, name: str, x: jnp.ndarray, dtype) -> jnp.ndarray:
 
 
 def dit_apply_pipelined(model, params: Any, x: jnp.ndarray, t: jnp.ndarray,
-                        mesh: Mesh, axis: str = "pp",
+                        mesh: Mesh = None, axis: str = "pp",
                         microbatches: Optional[int] = None,
-                        data_axis: Optional[str] = None) -> jnp.ndarray:
+                        data_axis: Optional[str] = None,
+                        y: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """``model.apply(params, x, t)`` with the transformer blocks pipelined.
 
     Embed and head run replicated (they are <2% of the FLOPs); the depth
@@ -181,6 +182,13 @@ def dit_apply_pipelined(model, params: Any, x: jnp.ndarray, t: jnp.ndarray,
     c = sinusoidal_time_embedding(t, cfg.time_embed_dim)
     c = _dense(tree, "t_fc1", c, jnp.float32)
     c = _dense(tree, "t_fc2", jax.nn.silu(c), jnp.float32)
+    if getattr(cfg, "num_classes", 0):
+        if y is None:
+            y = jnp.full((B,), cfg.num_classes, jnp.int32)
+        c = c + tree["class_emb"]["embedding"].astype(jnp.float32)[
+            jnp.asarray(y, jnp.int32)]
+    elif y is not None:
+        raise ValueError("labels passed to an unconditional model")
 
     # ---- pipelined blocks ----
     block = DiTBlock(
@@ -236,14 +244,14 @@ class PipelinedDiT:
         self.microbatches = microbatches
         self.data_axis = data_axis
 
-    def apply(self, params, x, t, *, deterministic: bool = True,
+    def apply(self, params, x, t, y=None, *, deterministic: bool = True,
               rngs=None, **kw):
         del deterministic, rngs  # dropout==0: train and eval coincide
         if kw:
             raise TypeError(f"unsupported apply options: {sorted(kw)}")
         return dit_apply_pipelined(
             self.model, params, x, t, self.mesh, axis=self.axis,
-            microbatches=self.microbatches, data_axis=self.data_axis)
+            microbatches=self.microbatches, data_axis=self.data_axis, y=y)
 
     def init(self, *a, **k):
         return self.model.init(*a, **k)

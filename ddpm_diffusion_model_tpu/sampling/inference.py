@@ -33,6 +33,7 @@ from .solvers import dpmpp2m_sample_loop
 from .timesteps import build_ddim_schedule
 
 __all__ = [
+    "cfg_eps_fn",
     "ddpm_sample",
     "ddim_sample",
     "ddpm_infer_sample",
@@ -43,25 +44,80 @@ __all__ = [
 ]
 
 
+def cfg_eps_fn(model, params, y=None, guidance: float = 1.0):
+    """Build the ``eps_fn(x_t, t)`` closure every sampler consumes, with
+    optional class conditioning + classifier-free guidance.
+
+    - ``y=None``: the plain (un)conditional forward (conditional models use
+      their NULL token internally — see the model families).
+    - ``y`` given, ``guidance == 1``: one conditional forward.
+    - ``y`` given, ``guidance != 1``: CFG (Ho & Salimans 2022) —
+      ``eps = eps_u + w * (eps_c - eps_u)`` with the conditional and NULL
+      branches batched into ONE doubled forward (one MXU pass, no second
+      dispatch); ``w=0`` is unconditional, ``w>1`` amplifies the class.
+    """
+    if y is None:
+        return lambda xt, t: model.apply(params, xt, t)
+    num_classes = int(getattr(model.config, "num_classes", 0))
+    if not num_classes:
+        raise ValueError("class-conditional sampling needs a conditional "
+                         "model (num_classes > 0)")
+    y = jnp.asarray(y, jnp.int32)
+    if float(guidance) == 1.0:
+        return lambda xt, t: model.apply(params, xt, t, y=y)
+
+    def eps_fn(xt, t):
+        xx = jnp.concatenate([xt, xt])
+        tt = jnp.concatenate([t, t])
+        yy = jnp.concatenate([y, jnp.full_like(y, num_classes)])
+        eps = model.apply(params, xx, tt, y=yy)
+        e_c, e_u = jnp.split(eps, 2)
+        w = jnp.asarray(guidance, jnp.float32)
+        out = e_u.astype(jnp.float32) + w * (
+            e_c.astype(jnp.float32) - e_u.astype(jnp.float32))
+        return out.astype(xt.dtype)
+
+    return eps_fn
+
+
+def _label_vector(class_id, n: int):
+    """CLI-friendly label arg: None | int (whole grid) | per-sample array."""
+    if class_id is None:
+        return None
+    arr = np.asarray(class_id, dtype=np.int32)
+    if arr.ndim == 0:
+        return jnp.full((n,), int(arr), jnp.int32)
+    if arr.shape != (n,):
+        raise ValueError(f"class_id must be a scalar or shape ({n},), "
+                         f"got {arr.shape}")
+    return jnp.asarray(arr)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("model", "shape", "num_steps", "capture_steps")
+    jax.jit,
+    static_argnames=("model", "shape", "num_steps", "capture_steps",
+                     "guidance"),
 )
-def _ddpm_jit(model, params, sched, key, shape, num_steps, capture_steps):
+def _ddpm_jit(model, params, sched, key, shape, num_steps, capture_steps,
+              y=None, guidance=1.0):
     k_init, k_loop = jax.random.split(key)
     x = jax.random.normal(k_init, shape, dtype=jnp.float32)
-    eps_fn = lambda xt, t: model.apply(params, xt, t)
+    eps_fn = cfg_eps_fn(model, params, y, guidance)
     return ddpm_sample_loop(
         sched, eps_fn, x, k_loop, num_steps=num_steps, capture_steps=capture_steps
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "shape", "timesteps", "capture_steps")
+    jax.jit,
+    static_argnames=("model", "shape", "timesteps", "capture_steps",
+                     "guidance"),
 )
-def _ddim_jit(model, params, sched, key, shape, timesteps, eta, capture_steps):
+def _ddim_jit(model, params, sched, key, shape, timesteps, eta, capture_steps,
+              y=None, guidance=1.0):
     k_init, k_loop = jax.random.split(key)
     x = jax.random.normal(k_init, shape, dtype=jnp.float32)
-    eps_fn = lambda xt, t: model.apply(params, xt, t)
+    eps_fn = cfg_eps_fn(model, params, y, guidance)
     return ddim_sample_loop(
         sched, eps_fn, x, k_loop,
         timesteps=np.asarray(timesteps, dtype=np.int32),
@@ -69,13 +125,16 @@ def _ddim_jit(model, params, sched, key, shape, timesteps, eta, capture_steps):
     )
 
 
-@functools.partial(jax.jit, static_argnames=("model", "shape", "timesteps"))
-def _dpmpp_jit(model, params, sched, key, shape, timesteps):
+@functools.partial(
+    jax.jit, static_argnames=("model", "shape", "timesteps", "guidance")
+)
+def _dpmpp_jit(model, params, sched, key, shape, timesteps, y=None,
+               guidance=1.0):
     # deterministic solver, but split like _ddim_jit so the same seed draws
     # the same init noise across samplers (cross-sampler comparisons)
     k_init, _ = jax.random.split(key)
     x = jax.random.normal(k_init, shape, dtype=jnp.float32)
-    eps_fn = lambda xt, t: model.apply(params, xt, t)
+    eps_fn = cfg_eps_fn(model, params, y, guidance)
     return dpmpp2m_sample_loop(
         sched, eps_fn, x,
         timesteps=np.asarray(timesteps, dtype=np.int32), clip_x0=True,
@@ -188,13 +247,18 @@ def ddpm_infer_sample(
     save_individual: bool = False,
     out_dir: str = "samples_individual",
     seed: Optional[int] = 1234,
+    class_id=None,
+    guidance: float = 1.0,
 ):
-    """Full-T ancestral grid inference (parity: ``ddpm_inference.py:6-58``)."""
+    """Full-T ancestral grid inference (parity: ``ddpm_inference.py:6-58``).
+    ``class_id`` (int or per-sample array) + ``guidance`` enable CFG
+    sampling on conditional models (see :func:`cfg_eps_fn`)."""
     p = ema_params if ema_params is not None else params
     key = jax.random.key(0 if seed is None else seed)
     x, _ = _ddpm_jit(
         model, p, sched, key,
         (n, img_size, img_size, model.config.in_channels), None, None,
+        y=_label_vector(class_id, n), guidance=float(guidance),
     )
     x01 = np.asarray(to_unit_interval(x))
     return _save_outputs(x01, out_path, save_individual, out_dir)
@@ -216,8 +280,11 @@ def ddim_infer_sample(
     eta: float = 0.0,
     schedule_kind: str = "t_linear",  # "t_linear" | "alpha_bar_cosine"
     schedule_idx: Optional[Sequence[int]] = None,
+    class_id=None,
+    guidance: float = 1.0,
 ):
-    """Sub-sampled DDIM grid inference (parity: ``ddpim_inference.py:7-104``)."""
+    """Sub-sampled DDIM grid inference (parity: ``ddpim_inference.py:7-104``).
+    ``class_id``/``guidance`` enable CFG on conditional models."""
     p = ema_params if ema_params is not None else params
     ts = build_ddim_schedule(
         schedule_kind, steps, sched.T,
@@ -228,6 +295,7 @@ def ddim_infer_sample(
         model, p, sched, jax.random.key(0 if seed is None else seed),
         (n, img_size, img_size, model.config.in_channels),
         tuple(int(t) for t in ts), eta, None,
+        y=_label_vector(class_id, n), guidance=float(guidance),
     )
     x01 = np.asarray(to_unit_interval(x))
     return _save_outputs(x01, out_path, save_individual, out_dir)
@@ -248,10 +316,13 @@ def dpmpp_infer_sample(
     steps: int = 20,
     schedule_kind: str = "t_linear",
     schedule_idx: Optional[Sequence[int]] = None,
+    class_id=None,
+    guidance: float = 1.0,
 ):
     """DPM-Solver++(2M) grid inference — the fast deterministic sampler
     (beyond the reference's DDPM/DDIM pair; see ``solvers.py``).  Same grid/
-    save semantics as ``ddim_infer_sample``; ~20 steps matches DDIM-50."""
+    save semantics as ``ddim_infer_sample``; ~20 steps matches DDIM-50.
+    ``class_id``/``guidance`` enable CFG on conditional models."""
     p = ema_params if ema_params is not None else params
     ts = build_ddim_schedule(
         schedule_kind, steps, sched.T,
@@ -262,6 +333,7 @@ def dpmpp_infer_sample(
         model, p, sched, jax.random.key(0 if seed is None else seed),
         (n, img_size, img_size, model.config.in_channels),
         tuple(int(t) for t in ts),
+        y=_label_vector(class_id, n), guidance=float(guidance),
     )
     x01 = np.asarray(to_unit_interval(x))
     return _save_outputs(x01, out_path, save_individual, out_dir)

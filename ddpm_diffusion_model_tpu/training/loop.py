@@ -81,12 +81,29 @@ def _saved_train_config(ckpt_path: str) -> Optional[TrainConfig]:
         return None
 
 
+def _batch_labels(batch):
+    """Labels from a loader item, for conditional training: requires the
+    ``(images, labels)`` protocol (every loader in ``data/`` follows it)."""
+    if not (isinstance(batch, (tuple, list)) and len(batch) >= 2):
+        raise ValueError(
+            "conditional model (num_classes > 0) needs (images, labels) "
+            "batches; this loader yields bare arrays (DeviceCacheLoader "
+            "and corpus caches are unlabeled — use DataLoader over a "
+            "labeled dataset)")
+    y = np.asarray(batch[1], dtype=np.int32)
+    if y.ndim != 1:
+        raise ValueError(f"expected (B,) integer labels, got {y.shape}")
+    return y
+
+
 def train_one_epoch(
     train_step,
     state: TrainState,
     dataloader: Iterable,
     *,
     batch_sharding=None,
+    labeled: bool = False,
+    label_sharding=None,
     max_batches: Optional[int] = None,
     log_every: int = 0,
     probe_fn=None,
@@ -120,11 +137,17 @@ def train_one_epoch(
         for i, batch in enumerate(dataloader):
             if max_batches is not None and i >= max_batches:
                 return
-            yield _as_batch_array(batch)
+            if labeled:
+                yield _as_batch_array(batch), _batch_labels(batch)
+            else:
+                yield _as_batch_array(batch)
 
     from ..data.loader import device_prefetch
 
-    for x_dev, _ in device_prefetch(_host_batches(), size=2, sharding=batch_sharding):
+    for x_dev, y_dev in device_prefetch(
+        _host_batches(), size=2, sharding=batch_sharding,
+        put_labels=labeled, label_sharding=label_sharding,
+    ):
         if stop_flag:  # preemption: stop at a batch boundary, state intact
             break
         x_shape0 = x_dev.shape[0]
@@ -136,7 +159,8 @@ def train_one_epoch(
             print("┆ In-epoch statistics")
             print(f"┆   (baseline)  eps-MSE ~ {base:.3f}  (expected ~1.0)")
         timer.reset()
-        state, metrics = train_step(state, x_dev)
+        state, metrics = train_step(
+            state, (x_dev, y_dev) if labeled else x_dev)
 
         loss_acc = metrics["loss"] if loss_acc is None else loss_acc + metrics["loss"]
         n_batches += 1
@@ -202,13 +226,15 @@ def evaluate_loss(
     dataloader: Iterable,
     *,
     batch_sharding=None,
+    labeled: bool = False,
     max_batches: Optional[int] = None,
     seed: int = 42,
 ) -> float:
     """Mean eval-mode L_simple over a loader.  Per-batch keys are fixed
     (fold_in of ``seed`` by batch index), so repeated calls — across epochs
     or between raw and EMA params — see identical (t, noise) draws and
-    differ only through the parameters."""
+    differ only through the parameters.  ``labeled=True`` (conditional
+    models) feeds the loader's real labels to the eval step."""
     loss_acc, n = None, 0
     base = jax.random.key(seed)
     for i, batch in enumerate(dataloader):
@@ -217,7 +243,8 @@ def evaluate_loss(
         x = jnp.asarray(_as_batch_array(batch))
         if batch_sharding is not None:
             x = jax.device_put(x, batch_sharding)
-        loss = eval_step(params, x, jax.random.fold_in(base, i))
+        b = (x, jnp.asarray(_batch_labels(batch))) if labeled else x
+        loss = eval_step(params, b, jax.random.fold_in(base, i))
         loss_acc = loss if loss_acc is None else loss_acc + loss
         n += 1
     return float(jax.device_get(loss_acc)) / n if n else float("nan")
@@ -354,12 +381,19 @@ def train_ddpm(
 
     tx = make_optimizer(cfg)
     state, _ = init_train_state(init_params, cfg, seed=init_seed, tx=tx)
-    batch_shd = None
+    # class-conditional model => batches are (images, labels) end to end
+    conditional = bool(getattr(model.config, "num_classes", 0))
+    batch_shd, label_shd = None, None
     if mesh is not None:
         from ..parallel import batch_sharding, place_state
 
         state = place_state(state, mesh, fsdp=fsdp)
         batch_shd = batch_sharding(mesh)
+        if conditional:
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            label_shd = NamedSharding(
+                mesh, PartitionSpec(batch_shd.spec[0]))
     train_step = make_train_step(model, sched, tx, cfg)
     probe_fn = make_probe_fn(model, sched) if probe_timesteps else None
     eval_fn = make_eval_step(model, sched) if eval_loader is not None else None
@@ -449,6 +483,8 @@ def train_ddpm(
                 state,
                 train_loader,
                 batch_sharding=batch_shd,
+                labeled=conditional,
+                label_sharding=label_shd,
                 max_batches=max_batches,
                 log_every=log_every,
                 probe_fn=probe_fn,
@@ -496,13 +532,15 @@ def train_ddpm(
                     eval_loader.set_epoch(epoch)
                 val = evaluate_loss(
                     eval_fn, state.params, eval_loader,
-                    batch_sharding=batch_shd, max_batches=eval_max_batches)
+                    batch_sharding=batch_shd, labeled=conditional,
+                    max_batches=eval_max_batches)
                 if np.isfinite(val):
                     if hasattr(eval_loader, "set_epoch"):
                         eval_loader.set_epoch(epoch)
                     val_ema = evaluate_loss(
                         eval_fn, state.ema_params, eval_loader,
-                        batch_sharding=batch_shd, max_batches=eval_max_batches)
+                        batch_sharding=batch_shd, labeled=conditional,
+                        max_batches=eval_max_batches)
                     summary["epochs"][-1]["val_loss"] = val
                     if np.isfinite(val_ema):
                         summary["epochs"][-1]["val_loss_ema"] = val_ema

@@ -62,6 +62,11 @@ class TrainConfig:
     # stays fp32 (its dynamic range drives the update's denominator).  None
     # keeps full fp32 moments — the default; opt in for memory-bound scale.
     moment_dtype: Optional[str] = None
+    # classifier-free guidance training (conditional models only): fraction
+    # of samples whose label is replaced by the NULL token each step, so one
+    # network learns both eps(x,t,y) and eps(x,t) (Ho & Salimans 2022).
+    # Ignored when the model is unconditional (num_classes == 0).
+    cond_dropout: float = 0.1
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)

@@ -55,10 +55,28 @@ def _dropout_key(key: jax.Array, impl: str) -> jax.Array:
     raise ValueError(f"unknown dropout_rng_impl {impl!r}")
 
 
+def _split_batch(batch, conditional: bool):
+    """``batch`` is images, or ``(images, labels)`` for conditional models."""
+    if conditional:
+        if not (isinstance(batch, (tuple, list)) and len(batch) == 2):
+            raise ValueError(
+                "conditional model (num_classes > 0) needs (images, labels) "
+                "batches — got a bare array; use a labeled data source")
+        return batch[0], batch[1]
+    if isinstance(batch, (tuple, list)):
+        return batch[0], None
+    return batch, None
+
+
 def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule, weight_fn=None,
-                 dropout_rng_impl: str = "threefry"):
-    """(params, x, key) -> scalar L_simple with fresh t ~ U{1..T-1} and
-    fresh noise, dropout active (training mode).
+                 dropout_rng_impl: str = "threefry",
+                 cond_dropout: float = 0.1):
+    """(params, batch, key) -> scalar L_simple with fresh t ~ U{1..T-1} and
+    fresh noise, dropout active (training mode).  ``batch`` is images, or
+    ``(images, labels)`` when the model is class-conditional
+    (``num_classes > 0``) — each sample's label is replaced by the NULL
+    token with probability ``cond_dropout`` (classifier-free guidance
+    training, Ho & Salimans 2022).
 
     ``weight_fn(t, sched) -> (B,)`` enables per-sample loss re-weighting —
     the ``weight`` argument of the reference's ``loss_simple``
@@ -72,24 +90,37 @@ def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule, weight_fn=None,
     mcfg = getattr(model, "config", None)
     aux_weight = (float(getattr(mcfg, "moe_aux_weight", 0.0))
                   if getattr(mcfg, "num_experts", 0) else 0.0)
+    num_classes = int(getattr(mcfg, "num_classes", 0))
 
-    def loss_fn(params, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
-        kt, kn, kd = jax.random.split(key, 3)
+    def loss_fn(params, batch, key: jax.Array) -> jnp.ndarray:
+        x, y = _split_batch(batch, bool(num_classes))
+        if num_classes:
+            kt, kn, kd, ky = jax.random.split(key, 4)
+            y = jnp.asarray(y, jnp.int32)
+            if cond_dropout > 0.0:
+                drop = jax.random.bernoulli(ky, cond_dropout, y.shape)
+                y = jnp.where(drop, num_classes, y)  # NULL token
+        else:
+            # split of 3, NOT 4: keeps unconditional (t, noise, mask) draws
+            # bit-identical to every pre-conditional checkpoint/run
+            kt, kn, kd = jax.random.split(key, 3)
         kd = _dropout_key(kd, dropout_rng_impl)
         t = sample_timesteps(kt, x.shape[0], sched.T)
         noise = jax.random.normal(kn, x.shape, dtype=jnp.float32)
         aux_box = []
 
         def eps_fn(x_t, tt):
+            y_kw = {"y": y} if num_classes else {}
             if aux_weight:
                 eps, aux = model.apply(
                     params, x_t, tt, deterministic=False,
-                    rngs={"dropout": kd}, return_aux=True,
+                    rngs={"dropout": kd}, return_aux=True, **y_kw,
                 )
                 aux_box.append(aux)
                 return eps
             return model.apply(
-                params, x_t, tt, deterministic=False, rngs={"dropout": kd}
+                params, x_t, tt, deterministic=False, rngs={"dropout": kd},
+                **y_kw,
             )
 
         weight = weight_fn(t, sched) if weight_fn is not None else None
@@ -143,12 +174,13 @@ def make_train_step(
     loss_fn = make_loss_fn(
         model, sched, weight_fn=resolve_weight_fn(cfg.loss_weighting),
         dropout_rng_impl=getattr(cfg, "dropout_rng_impl", "threefry"),
+        cond_dropout=getattr(cfg, "cond_dropout", 0.1),
     )
     accum = max(1, int(cfg.grad_accum_steps))
     lr_schedule = make_lr_schedule(cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch: jnp.ndarray) -> Tuple[TrainState, Metrics]:
+    def train_step(state: TrainState, batch) -> Tuple[TrainState, Metrics]:
         rng_next, k_step = jax.random.split(state.rng)
 
         grad_fn = jax.value_and_grad(loss_fn)
@@ -157,8 +189,10 @@ def make_train_step(
             # fast path: no scan wrapper around the single microbatch
             loss, grads = grad_fn(state.params, batch, k_step)
         else:
-            B = batch.shape[0]
-            micro = batch.reshape(accum, B // accum, *batch.shape[1:])
+            B = jax.tree.leaves(batch)[0].shape[0]
+            micro = jax.tree.map(
+                lambda a: a.reshape(accum, B // accum, *a.shape[1:]), batch
+            )
             keys = jax.random.split(k_step, accum)
 
             def body(carry, inp):
@@ -204,21 +238,27 @@ def make_train_step(
 def make_eval_step(
     model: UNetDenoiser, sched: DiffusionSchedule
 ) -> Callable[[Any, jnp.ndarray, jax.Array], jnp.ndarray]:
-    """(params, x, key) -> scalar L_simple in eval mode (no dropout, no
+    """(params, batch, key) -> scalar L_simple in eval mode (no dropout, no
     grads) — the validation pass the reference never runs despite building
-    valid/test loaders (``load_data_from_torch.py:43-44``).  Deterministic
+    valid/test loaders (``load_data_from_torch.py:43-44``).  ``batch`` is
+    images, or ``(images, labels)`` for conditional models (real labels,
+    no NULL-token dropout — the conditional likelihood).  Deterministic
     in the key: driving it with a fixed per-batch-index key gives the same
     (t, noise) draws every eval pass, so epoch-over-epoch val losses
     compare without Monte-Carlo jitter."""
+    num_classes = int(getattr(getattr(model, "config", None),
+                              "num_classes", 0))
 
     @jax.jit
-    def eval_step(params, x: jnp.ndarray, key: jax.Array) -> jnp.ndarray:
+    def eval_step(params, batch, key: jax.Array) -> jnp.ndarray:
+        x, y = _split_batch(batch, bool(num_classes))
         kt, kn = jax.random.split(key)
         t = sample_timesteps(kt, x.shape[0], sched.T)
         noise = jax.random.normal(kn, x.shape, dtype=jnp.float32)
+        y_kw = {"y": jnp.asarray(y, jnp.int32)} if num_classes else {}
 
         def eps_fn(x_t, tt):
-            return model.apply(params, x_t, tt, deterministic=True)
+            return model.apply(params, x_t, tt, deterministic=True, **y_kw)
 
         return loss_simple(sched, eps_fn, x, t, noise)
 
