@@ -191,6 +191,9 @@ def main():
                     help="tiled Pallas GN+SiLU+time-bias epilogue")
     ap.add_argument("--dropout-impl", choices=["packed", "flax"],
                     help="ResBlock mask impl (default: model default)")
+    ap.add_argument("--step-tail", choices=["flat", "tree"],
+                    help="EMA lerp + grad-norm metric on one raveled vector "
+                         "(flat, default) vs ~300 leaf kernels (tree)")
     ap.add_argument("--dropout-rng", choices=["rbg", "threefry"],
                     help="dropout key family (default: TrainConfig default)")
     args = ap.parse_args()
@@ -270,6 +273,8 @@ def main():
     tcfg_kw = {}
     if args.dropout_rng:
         tcfg_kw["dropout_rng_impl"] = args.dropout_rng
+    if args.step_tail:
+        tcfg_kw["flat_step_tail"] = args.step_tail == "flat"
     tcfg = TrainConfig(
         base_lr=2e-4, warmup_steps=1000, grad_accum_steps=accum, ema_decay=ema,
         **tcfg_kw

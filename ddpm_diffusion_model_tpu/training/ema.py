@@ -36,13 +36,28 @@ def ema_init(params: Params) -> Params:
     return jax.tree.map(lambda p: jnp.array(p, copy=True), params)
 
 
-def ema_update(ema_params: Params, params: Params, decay) -> Params:
+def ema_update(ema_params: Params, params: Params, decay,
+               flat: bool = False) -> Params:
     """shadow <- decay * shadow + (1 - decay) * params (``ema.py:15-23``).
 
     ``decay`` may be a traced scalar (it lives in the train state so it can
     be overridden at resume without recompiling).
+
+    ``flat=True`` runs ONE lerp over raveled vectors instead of ~300 leaf
+    kernels (the same dispatch-tail motivation as ``flat_optimizer``,
+    docs/BENCH.md "optimizer tail").  Bit-exact: the lerp is elementwise,
+    raveling only reorders memory.  Only valid when every leaf is floating
+    (true for every model family here — params are fp32 by convention).
     """
     d = jnp.asarray(decay, dtype=jnp.float32)
+    if flat:
+        from jax.flatten_util import ravel_pytree
+
+        flat_e, unravel = ravel_pytree(ema_params)
+        flat_p, _ = ravel_pytree(params)
+        out = d * flat_e.astype(jnp.float32) + (1.0 - d) * flat_p.astype(
+            jnp.float32)
+        return unravel(out.astype(flat_e.dtype))
     return jax.tree.map(
         lambda e, p: (d * e.astype(jnp.float32)
                       + (1.0 - d) * p.astype(jnp.float32)).astype(e.dtype),

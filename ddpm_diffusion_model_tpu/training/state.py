@@ -67,6 +67,16 @@ class TrainConfig:
     # network learns both eps(x,t,y) and eps(x,t) (Ho & Salimans 2022).
     # Ignored when the model is unconditional (num_classes == 0).
     cond_dropout: float = 0.1
+    # run the step tail's EMA lerp and grad-norm metric on one raveled
+    # vector instead of ~300 leaf kernels — the flat_optimizer treatment
+    # extended to the rest of the step.  MEASURED SLOWER on the v5e
+    # (1073 vs 1106 imgs/s, reproduced twice: unlike the optimizer — whose
+    # m/v state lives flat persistently — the EMA/grad trees must be
+    # re-raveled every step, and those 125 MB concat materializations cost
+    # more than the ~300 launches they replace; docs/BENCH.md "step tail").
+    # Kept as an option for models with far more leaves.  EMA is bit-exact
+    # under raveling; the grad-norm METRIC differs only by fp reassociation.
+    flat_step_tail: bool = False
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -81,6 +91,7 @@ class TrainConfig:
         if legacy:
             d.setdefault("flat_optimizer", False)
             d.setdefault("dropout_rng_impl", "threefry")
+            d.setdefault("flat_step_tail", False)
         return cls(**d)
 
 

@@ -787,3 +787,35 @@ def test_resume_adopts_checkpoint_optimizer_layout(setup, tmp_path, capsys):
     assert "adopting checkpoint optimizer layout: flat_optimizer=False" in out
     assert "[RESUME] loaded" in out
     assert int(state.step) == 4  # resumed at 2, one more epoch of 2 batches
+
+
+def test_flat_step_tail_bit_exact(setup):
+    """flat_step_tail=True (raveled EMA lerp + grad-norm metric) must match
+    the tree version: EMA/params/opt-state bit-exact (the lerp is
+    elementwise — raveling only reorders memory), grad_norm to fp
+    reassociation."""
+    model, sched, params = setup
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(4, RES, RES, 3)), jnp.float32)
+    outs = {}
+    for flat in (False, True):
+        cfg = TrainConfig(base_lr=1e-3, warmup_steps=2, flat_step_tail=flat)
+        tx = make_optimizer(cfg)
+        state, _ = init_train_state(params, cfg, tx=tx)
+        step = make_train_step(model, sched, tx, cfg)
+        state, metrics = step(state, x)
+        state, metrics = step(state, x)
+        outs[flat] = (state, metrics)
+    a, b = outs[False], outs[True]
+    for field in ("params", "ema_params", "opt_state"):
+        jax.tree.map(
+            lambda u, v: np.testing.assert_array_equal(
+                np.asarray(u), np.asarray(v)),
+            getattr(a[0], field), getattr(b[0], field))
+    assert float(a[1]["grad_norm"]) == pytest.approx(
+        float(b[1]["grad_norm"]), rel=1e-5)
+    # pre-knob checkpoint metas resolve to the (default) tree tail
+    legacy = {k: v for k, v in TrainConfig().to_dict().items()
+              if k != "flat_step_tail"}
+    assert TrainConfig.from_dict(legacy, legacy=True).flat_step_tail is False
+    assert TrainConfig.from_dict(legacy).flat_step_tail is False
