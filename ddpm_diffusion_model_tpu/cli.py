@@ -337,9 +337,6 @@ def _class_vec(args, exp):
     if not nc:
         sys.exit("error: --class-id needs a class-conditional checkpoint "
                  "(model.num_classes > 0)")
-    if getattr(args, "sharded", False):
-        sys.exit("error: --class-id with --sharded is not supported — drop "
-                 "--sharded (single-chip CFG) for now")
     if getattr(args, "refresh_every", 0) > 1:
         sys.exit("error: --class-id with --refresh-every (encoder-cached "
                  "sampling) is not supported")
@@ -372,8 +369,10 @@ def cmd_sample_ddpm(args):
             model, state.params, sched, mesh, kind="ddpm", n=args.n,
             img_size=exp.img_size, seed=args.seed, save_path=args.out,
             ema_params=state.ema_params if args.ema else None,
+            class_id=cls, guidance=args.guidance,
         )
-        print(f"[INFER] grid -> {args.out} (sharded x{mesh.devices.size})")
+        print(f"[INFER] grid -> {args.out} (sharded x{mesh.devices.size})"
+              f"{_cfg_msg(args)}")
         return
     ddpm_infer_sample(
         model, state.params, sched, n=args.n, img_size=exp.img_size,
@@ -400,9 +399,10 @@ def cmd_sample_ddim(args):
             img_size=exp.img_size, seed=args.seed, steps=args.steps,
             eta=args.eta, schedule_kind=args.schedule, save_path=args.out,
             ema_params=state.ema_params if args.ema else None,
+            class_id=cls, guidance=args.guidance,
         )
         print(f"[INFER-DDIM] grid -> {args.out} (steps={args.steps},"
-              f" sharded x{mesh.devices.size})")
+              f" sharded x{mesh.devices.size}){_cfg_msg(args)}")
         return
     if getattr(args, "refresh_every", 0) > 1:
         # encoder-cached fast path (sampling/fast.py): decoder-only reuse
@@ -452,9 +452,10 @@ def cmd_sample_dpmpp(args):
             img_size=exp.img_size, seed=args.seed, steps=args.steps,
             schedule_kind=args.schedule, save_path=args.out,
             ema_params=state.ema_params if args.ema else None,
+            class_id=cls, guidance=args.guidance,
         )
         print(f"[INFER-DPM++] grid -> {args.out} (steps={args.steps},"
-              f" sharded x{mesh.devices.size})")
+              f" sharded x{mesh.devices.size}){_cfg_msg(args)}")
         return
     dpmpp_infer_sample(
         model, state.params, sched, n=args.n, img_size=exp.img_size,

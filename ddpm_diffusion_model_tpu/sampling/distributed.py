@@ -40,15 +40,22 @@ __all__ = ["sample_grid_sharded"]
 @functools.partial(
     jax.jit,
     static_argnames=("model", "shape", "kind", "num_steps", "timesteps",
-                     "eta", "mesh", "axis"),
+                     "eta", "mesh", "axis", "guidance"),
 )
 def _sharded_sample_jit(model, params, sched, key, shape, kind, num_steps,
-                        timesteps, eta, mesh, axis):
+                        timesteps, eta, mesh, axis, y=None, guidance=1.0):
+    from .inference import cfg_eps_fn
+
     k_init, k_loop = jax.random.split(key)
     x = jax.random.normal(k_init, shape, dtype=jnp.float32)
     batch_sh = NamedSharding(mesh, P(axis))
     x = jax.lax.with_sharding_constraint(x, batch_sh)
-    eps_fn = lambda xt, t: model.apply(params, xt, t)
+    if y is not None:
+        # labels shard with their samples; the CFG-doubled concat keeps the
+        # batch axis sharded (GSPMD propagates through concat)
+        y = jax.lax.with_sharding_constraint(
+            jnp.asarray(y, jnp.int32), NamedSharding(mesh, P(axis)))
+    eps_fn = cfg_eps_fn(model, params, y, guidance)
     if kind == "ddpm":
         out, _ = ddpm_sample_loop(sched, eps_fn, x, k_loop,
                                   num_steps=num_steps)
@@ -83,6 +90,8 @@ def sample_grid_sharded(
     schedule_kind: str = "t_linear",
     ema_params=None,
     save_path: Optional[str] = None,
+    class_id=None,
+    guidance: float = 1.0,
 ) -> np.ndarray:
     """Sample an ``n``-image grid with the batch sharded over ``mesh[axis]``.
 
@@ -93,6 +102,10 @@ def sample_grid_sharded(
     Passing ``steps`` with ``kind="ddpm"`` raises — the ancestral knob is
     ``num_steps``, and silently running the full T-step chain instead of
     the requested 50 would cost ~20x wall-clock.
+
+    ``class_id``/``guidance``: classifier-free guidance on conditional
+    models (see :func:`~.inference.cfg_eps_fn`); CFG is per-sample, so it
+    shards exactly like the unconditional loop (zero extra collectives).
     """
     if kind not in ("ddpm", "ddim", "dpmpp"):
         raise ValueError(f"kind must be 'ddpm'|'ddim'|'dpmpp', got {kind!r}")
@@ -122,10 +135,13 @@ def sample_grid_sharded(
             )
         )
 
+    from .inference import _label_vector
+
     shape = (n, img_size, img_size, model.config.in_channels)
     x = _sharded_sample_jit(
         model, p, sched_dev, jax.random.key(seed), shape, kind,
         num_steps, ts, float(eta), mesh, axis,
+        y=_label_vector(class_id, n), guidance=float(guidance),
     )
     x = to_unit_interval(x)
     if jax.process_count() > 1:

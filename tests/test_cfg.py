@@ -343,3 +343,27 @@ def test_config_roundtrip_and_legacy():
     tc = {k: v for k, v in TrainConfig().to_dict().items()
           if k != "cond_dropout"}
     assert TrainConfig.from_dict(tc, legacy=True).cond_dropout == 0.1
+
+
+def test_sharded_cfg_matches_single_device():
+    """CFG sampling sharded over the 8-device mesh == the single-device
+    CFG kernel (CFG is per-sample: zero extra collectives)."""
+    from ddpm_diffusion_model_tpu.parallel import make_mesh
+    from ddpm_diffusion_model_tpu.sampling import sample_grid_sharded
+    from ddpm_diffusion_model_tpu.sampling.inference import _ddim_jit
+    from ddpm_diffusion_model_tpu.sampling.loops import to_unit_interval
+    from ddpm_diffusion_model_tpu.sampling.timesteps import build_ddim_schedule
+
+    model, params = _unet()
+    sched = make_schedule(DiffusionConfig(T=50, img_size=16))
+    mesh = make_mesh()
+    y = np.arange(8, dtype=np.int32) % NC
+    x_sharded = sample_grid_sharded(
+        model, params, sched, mesh, kind="ddim", n=8, img_size=16,
+        seed=5, steps=4, class_id=y, guidance=2.0)
+    ts = tuple(int(t) for t in build_ddim_schedule("t_linear", 4, 50))
+    x_single, _ = _ddim_jit(
+        model, params, sched, jax.random.key(5), (8, 16, 16, 3),
+        ts, 0.0, None, y=jnp.asarray(y), guidance=2.0)
+    np.testing.assert_allclose(
+        x_sharded, np.asarray(to_unit_interval(x_single)), atol=2e-5)
