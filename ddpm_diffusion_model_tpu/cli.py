@@ -255,16 +255,24 @@ def cmd_train(args):
         args, exp, with_eval=bool(getattr(args, "eval_every", 0)), mesh=mesh)
 
     def sample_fn(model_, params_, sched_, *, n, img_size, save_path, seed):
-        # returns per-sample [0,1] images so the loop can score rFID
+        # returns per-sample [0,1] images so the loop can score rFID.
+        # Conditional runs sample a CLASS-CYCLED grid (row i gets class
+        # i % K, plain conditional w=1): per-epoch grids then show every
+        # class learning, and rFID compares like-for-like against the
+        # labeled reference mixture.
+        nc_ = int(getattr(exp.model, "num_classes", 0))
+        cls_ = (np.arange(n, dtype=np.int32) % nc_) if nc_ else None
         if mesh is not None and n % mesh.shape["data"] == 0:
             # SPMD sampling: every chip denoises its slice of the grid
             from .sampling import sample_grid_sharded
 
             return sample_grid_sharded(
                 model_, params_, sched_, mesh, kind="ddpm", n=n,
-                img_size=img_size, seed=seed, save_path=save_path)
+                img_size=img_size, seed=seed, save_path=save_path,
+                class_id=cls_)
         return ddpm_sample(model_, params_, sched_, n, img_size, seed=seed,
-                           save_path=save_path, return_grid=False)
+                           save_path=save_path, return_grid=False,
+                           class_id=cls_)
 
     fid_ref = None
     if args.data == "blobs" and not args.no_samples:

@@ -141,23 +141,33 @@ def _dpmpp_jit(model, params, sched, key, shape, timesteps, y=None,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("model", "timesteps"))
-def _dpmpp_from_init_jit(model, params, sched, x_init, timesteps):
+@functools.partial(
+    jax.jit, static_argnames=("model", "timesteps", "guidance")
+)
+def _dpmpp_from_init_jit(model, params, sched, x_init, timesteps, y=None,
+                         guidance=1.0):
     """DPM-Solver++(2M) scan from EXPLICIT init noise — the serving
-    coalescer's solver kernel (deterministic, like DDIM eta=0)."""
-    eps_fn = lambda xt, t: model.apply(params, xt, t)
+    coalescer's solver kernel (deterministic, like DDIM eta=0).
+    ``y``/``guidance``: per-sample CFG (labels concatenate like the init
+    noise; row i depends only on (x_i, y_i), so coalescing stays
+    per-request deterministic)."""
+    eps_fn = cfg_eps_fn(model, params, y, guidance)
     return dpmpp2m_sample_loop(
         sched, eps_fn, x_init,
         timesteps=np.asarray(timesteps, dtype=np.int32), clip_x0=True,
     )
 
 
-@functools.partial(jax.jit, static_argnames=("model", "timesteps"))
-def _ddim_from_init_jit(model, params, sched, x_init, timesteps):
+@functools.partial(
+    jax.jit, static_argnames=("model", "timesteps", "guidance")
+)
+def _ddim_from_init_jit(model, params, sched, x_init, timesteps, y=None,
+                        guidance=1.0):
     """Deterministic (eta=0) DDIM scan from EXPLICIT init noise — the
     kernel behind the serving coalescer, which concatenates per-request
-    init noise into one batch.  Same loop/clip semantics as ``_ddim_jit``."""
-    eps_fn = lambda xt, t: model.apply(params, xt, t)
+    init noise into one batch.  Same loop/clip semantics as ``_ddim_jit``;
+    ``y``/``guidance`` as in :func:`_dpmpp_from_init_jit`."""
+    eps_fn = cfg_eps_fn(model, params, y, guidance)
     out, _ = ddim_sample_loop(
         sched, eps_fn, x_init, jax.random.key(0),
         timesteps=np.asarray(timesteps, dtype=np.int32),
@@ -177,12 +187,16 @@ def ddpm_sample(
     seed: int = 1234,
     save_path: Optional[str] = None,
     return_grid: bool = True,
+    class_id=None,
+    guidance: float = 1.0,
 ):
-    """In-training DDPM grid sampler (parity: ``training_utils.py:7-29``)."""
+    """In-training DDPM grid sampler (parity: ``training_utils.py:7-29``).
+    ``class_id``/``guidance``: CFG on conditional models."""
     key = jax.random.key(seed)
     x, _ = _ddpm_jit(
         model, params, sched, key,
         (n, img_size, img_size, model.config.in_channels), steps, None,
+        y=_label_vector(class_id, n), guidance=float(guidance),
     )
     x01 = np.asarray(to_unit_interval(x))
     grid = make_grid(x01, nrow=int(n**0.5))

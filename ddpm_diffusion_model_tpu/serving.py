@@ -9,6 +9,7 @@ which is the right behavior for one accelerator.
     python -m ddpm_diffusion_model_tpu.serving --ckpt ck/run_last --port 8000
     GET /healthz                 -> {"status": "ok", ...}
     GET /sample?n=4&steps=50&eta=0.0&seed=7&format=png|npy&sampler=ddim|dpmpp
+                &class_id=K&guidance=W   (conditional checkpoints: CFG)
     GET /metrics                 -> request/sample/error counters + p50/p95
 """
 
@@ -137,21 +138,37 @@ class SamplerService:
 
     def sample(self, n: int = 4, steps: int = 50, eta: float = 0.0,
                seed: int = 0, schedule_kind: str = "t_linear",
-               sampler: str = "ddim"):
+               sampler: str = "ddim", class_id=None, guidance: float = 1.0):
         """Returns ``(images, used)``: (n, H, W, C) float [0,1] plus a dict
         of the parameters ACTUALLY used after bucketing (``n``, ``steps``),
         so callers can see when their request was snapped.  Thread-safe;
         device work serializes.
 
         eta=0 requests (the deterministic default) are COALESCED: concurrent
-        requests with the same (steps, schedule) landing within a short
-        window run as ONE device batch.  Each request's trajectory depends
-        only on its own seed's init noise (eta=0 adds no in-loop noise), so
-        per-seed determinism is independent of what it was batched with."""
+        requests with the same (steps, schedule, guidance) landing within a
+        short window run as ONE device batch.  Each request's trajectory
+        depends only on its own seed's init noise (eta=0 adds no in-loop
+        noise) and its OWN label, so per-seed determinism is independent of
+        what it was batched with — labels are per-sample, so different
+        classes coalesce freely (an unlabeled request on a conditional
+        checkpoint rides as the NULL token, for which the CFG combination
+        collapses to the unconditional forward exactly).
+
+        ``class_id``/``guidance``: classifier-free guidance on conditional
+        checkpoints (``model.num_classes > 0``); rejected otherwise."""
         import time
 
         if sampler not in ("ddim", "dpmpp"):
             raise ValueError(f"sampler must be 'ddim'|'dpmpp', got {sampler!r}")
+        num_classes = int(getattr(self.model.config, "num_classes", 0))
+        if class_id is not None or guidance != 1.0:
+            if not num_classes:
+                raise ValueError(
+                    "class_id/guidance need a class-conditional checkpoint "
+                    "(model.num_classes > 0)")
+            if class_id is not None and not 0 <= int(class_id) < num_classes:
+                raise ValueError(
+                    f"class_id {class_id} out of range [0, {num_classes})")
         if sampler == "dpmpp":
             eta = 0.0  # the solver is deterministic; always coalescible
         n = max(1, min(int(n), self.MAX_N))
@@ -159,13 +176,20 @@ class SamplerService:
         used = {"n": int(n), "steps": int(steps), "eta": float(eta),
                 "seed": int(seed), "schedule": schedule_kind,
                 "sampler": sampler}
+        if num_classes:
+            used["class_id"] = None if class_id is None else int(class_id)
+            used["guidance"] = float(guidance)
+        # per-sample label: requests without a class ride as the NULL token
+        label = (None if not num_classes
+                 else (num_classes if class_id is None else int(class_id)))
 
         t0 = time.perf_counter()
         if eta == 0.0:
             out = self._sample_coalesced(n, steps, schedule_kind, seed,
-                                         sampler)
+                                         sampler, label, float(guidance))
         else:
-            out = self._sample_direct(n, steps, eta, schedule_kind, seed)
+            out = self._sample_direct(n, steps, eta, schedule_kind, seed,
+                                      label, float(guidance))
         with self._stats_lock:
             self._stats["requests"] += 1
             self._stats["samples"] += int(n)
@@ -173,10 +197,12 @@ class SamplerService:
             del self._latencies[:-self._LAT_WINDOW]
         return out, used
 
-    def _sample_direct(self, n, steps, eta, schedule_kind, seed):
+    def _sample_direct(self, n, steps, eta, schedule_kind, seed,
+                       label=None, guidance=1.0):
         """One un-batched request (the eta>0 path: ancestral noise inside
         the loop comes from one key, so merging would entangle seeds)."""
         import jax
+        import jax.numpy as jnp
 
         from .sampling.inference import _ddim_jit
         from .sampling.loops import to_unit_interval
@@ -187,17 +213,20 @@ class SamplerService:
             schedule_kind, steps, self.sched.T,
             alphas_cumprod=np.asarray(self.sched.alphas_cumprod),
         )
+        y = (None if label is None
+             else jnp.full((n_bucket,), int(label), jnp.int32))
         with self._lock:
             x, _ = _ddim_jit(
                 self.model, self.params, self.sched, jax.random.key(seed),
                 (n_bucket, self.img_size, self.img_size,
                  self.model.config.in_channels),
                 tuple(int(t) for t in ts), eta, None,
+                y=y, guidance=guidance,
             )
         return np.asarray(to_unit_interval(x[:n]))
 
     def _sample_coalesced(self, n, steps, schedule_kind, seed,
-                          sampler="ddim"):
+                          sampler="ddim", label=None, guidance=1.0):
         """Enqueue; the first thread on an empty queue becomes the leader,
         waits COALESCE_WINDOW_S for company, then takes over the WHOLE queue
         in one atomic grab and serves it in <= MAX_N chunks.  Requests
@@ -206,9 +235,11 @@ class SamplerService:
         own latency is bounded by what was queued at window end."""
         import time
 
-        req = {"n": n, "seed": seed, "event": threading.Event(),
-               "out": None, "err": None}
-        key = (sampler, steps, schedule_kind)
+        req = {"n": n, "seed": seed, "label": label,
+               "event": threading.Event(), "out": None, "err": None}
+        # guidance keys the queue (it is a compile-time constant of the
+        # kernel); labels are per-sample and coalesce freely
+        key = (sampler, steps, schedule_kind, guidance)
         with self._q_lock:
             q = self._queues.setdefault(key, [])
             q.append(req)
@@ -226,7 +257,7 @@ class SamplerService:
                     batch = [taken.pop(0)]
                 try:
                     outs = self._run_eta0_batch(batch, steps, schedule_kind,
-                                                sampler)
+                                                sampler, guidance)
                     for r, o in zip(batch, outs):
                         r["out"] = o
                 except Exception as e:  # noqa: BLE001 — deliver to waiters
@@ -243,7 +274,8 @@ class SamplerService:
                 f"coalesced sample failed: {req['err']!r}") from req["err"]
         return req["out"]
 
-    def _run_eta0_batch(self, batch, steps, schedule_kind, sampler="ddim"):
+    def _run_eta0_batch(self, batch, steps, schedule_kind, sampler="ddim",
+                        guidance=1.0):
         """ONE deterministic scan (DDIM eta=0 or DPM-Solver++(2M)) over the
         concatenated per-request init noise; total padded to the next power
         of two so the compile cache stays bounded.
@@ -289,12 +321,22 @@ class SamplerService:
                 jax.random.key(0), (total_b - total, H, H, C),
                 dtype=jnp.float32))
         x_init = jnp.concatenate(inits)
+        y = None
+        if any(r["label"] is not None for r in batch):
+            nc = int(getattr(self.model.config, "num_classes", 0))
+            labels = np.concatenate(
+                [np.full(r["n"], r["label"], np.int32) for r in batch])
+            if total_b > total:  # padding rows ride as the NULL token
+                labels = np.concatenate(
+                    [labels, np.full(total_b - total, nc, np.int32)])
+            y = jnp.asarray(labels)
         if self.mesh is not None:
             from .parallel import batch_sharding
 
             x_init = jax.device_put(x_init, batch_sharding(self.mesh))
         with self._lock:
-            x = kernel(self.model, self.params, self.sched, x_init, ts)
+            x = kernel(self.model, self.params, self.sched, x_init, ts,
+                       y=y, guidance=guidance)
         # slice the padding off ON DEVICE before the host fetch
         x01 = np.asarray(to_unit_interval(x[:total]))
         with self._stats_lock:
@@ -333,6 +375,9 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                     # request in X-Used-* headers)
                     "step_choices": list(service.STEP_CHOICES),
                     "max_n": service.MAX_N,
+                    # 0 = unconditional checkpoint (class_id/guidance rejected)
+                    "num_classes": int(getattr(service.model.config,
+                                               "num_classes", 0)),
                 })
                 return
             if url.path == "/metrics":
@@ -352,12 +397,18 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                 sampler = q.get("sampler", "ddim")
                 if sampler not in ("ddim", "dpmpp"):
                     raise ValueError(f"sampler must be ddim|dpmpp, got {sampler}")
+                class_id = (int(q["class_id"]) if "class_id" in q else None)
+                guidance = float(q.get("guidance", 1.0))
             except ValueError as e:
                 self._json(400, {"error": f"bad parameter: {e}"})
                 return
             try:
                 x, used = service.sample(n=n, steps=steps, eta=eta, seed=seed,
-                                         schedule_kind=kind, sampler=sampler)
+                                         schedule_kind=kind, sampler=sampler,
+                                         class_id=class_id, guidance=guidance)
+            except ValueError as e:  # bad class/guidance vs this checkpoint
+                self._json(400, {"error": str(e)})
+                return
             except Exception as e:  # surface sampler errors as 500s
                 service.record_error()
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
