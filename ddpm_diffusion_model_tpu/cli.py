@@ -101,10 +101,6 @@ def _make_loader(args, exp, with_eval=False, mesh=None):
     nc = int(getattr(exp.model, "num_classes", 0))
     shard_corpus = bool(getattr(args, "device_cache_sharded", False))
     device_cache = bool(getattr(args, "device_cache", False)) or shard_corpus
-    if nc and device_cache:
-        sys.exit("error: --device-cache corpora are unlabeled; conditional "
-                 "models (num_classes > 0) need a labeled loader — drop the "
-                 "cache flag (blobs/synthetic label themselves)")
     if nc and args.data in ("zip", "hf", "celeba"):
         sys.exit(f"error: --data {args.data} has no labels; conditional "
                  "models train on labeled sources (--data blobs assigns "
@@ -147,10 +143,16 @@ def _make_loader(args, exp, with_eval=False, mesh=None):
     if args.data == "synthetic":
         if nc:
             n = args.synthetic_size
-            train = DataLoader(
-                ArrayDataset(np.asarray(_synthetic_array(exp, n, exp.seed)),
-                             _smoke_labels(n)),
-                exp.batch_size, seed=exp.seed, shuffle=True)
+            arr = np.asarray(_synthetic_array(exp, n, exp.seed))
+            if device_cache:
+                from .data import DeviceCacheLoader
+
+                train = DeviceCacheLoader(arr, exp.batch_size, seed=exp.seed,
+                                          labels=_smoke_labels(n), **cache_kw)
+            else:
+                train = DataLoader(ArrayDataset(arr, _smoke_labels(n)),
+                                   exp.batch_size, seed=exp.seed,
+                                   shuffle=True)
         else:
             train = _train_loader_from_array(
                 _synthetic_array(exp, args.synthetic_size, exp.seed),
@@ -166,14 +168,22 @@ def _make_loader(args, exp, with_eval=False, mesh=None):
         # stand-in for CelebA — real learning dynamics without egress
         from .data import BlobFacesDataset
 
-        if nc and getattr(args, "preload", False):
-            # labeled preload: render once, keep the (img, label) pairing
+        if nc and (getattr(args, "preload", False) or device_cache):
+            # labeled preload: render once, keep the (img, label) pairing;
+            # --device-cache pins (corpus, labels) in HBM together
             ds = BlobFacesDataset(args.synthetic_size, img_size=exp.img_size,
                                   seed=exp.seed, num_classes=nc)
             arr = np.stack([ds[i][0] for i in range(len(ds))])
-            train = DataLoader(
-                ArrayDataset(arr, _smoke_labels(len(ds))),
-                exp.batch_size, seed=exp.seed, shuffle=True)
+            if device_cache:
+                from .data import DeviceCacheLoader
+
+                train = DeviceCacheLoader(arr, exp.batch_size, seed=exp.seed,
+                                          labels=_smoke_labels(len(ds)),
+                                          **cache_kw)
+            else:
+                train = DataLoader(
+                    ArrayDataset(arr, _smoke_labels(len(ds))),
+                    exp.batch_size, seed=exp.seed, shuffle=True)
         elif getattr(args, "preload", False) or device_cache:
             # render the whole corpus to RAM once (~50 MB per 1k 64px
             # images): per-item python rendering (~400 imgs/s) would

@@ -231,8 +231,11 @@ class DeviceCacheLoader:
     Epoch shuffle orders match :class:`DataLoader` exactly
     (``default_rng(seed + epoch)`` permutation, advancing per ``__iter__``,
     pinnable with ``set_epoch``), so the two are drop-in equivalents for a
-    preloaded array corpus.  Yields ``(jax.Array, None)`` batches; the
-    train loop passes device arrays through untouched.
+    preloaded array corpus.  Yields ``(jax.Array, None)`` batches — or
+    ``(jax.Array, jax.Array)`` with ``labels=`` (or a labeled dataset with
+    ``num_classes``): labels live in HBM too, so conditional training stays
+    a pure on-device gather per step.  The train loop passes device arrays
+    through untouched.
 
     With ``sharding`` (a batch `NamedSharding`), the corpus is uploaded
     REPLICATED over the sharding's mesh and each gathered batch is
@@ -247,7 +250,7 @@ class DeviceCacheLoader:
     def __init__(self, data, batch_size: int, *, shuffle: bool = True,
                  drop_last: bool = True, seed: int = 0, sharding=None,
                  dtype=None, quantize: bool = False, progress: bool = False,
-                 shard_corpus: bool = False):
+                 shard_corpus: bool = False, labels=None):
         import jax
         import jax.numpy as jnp
 
@@ -264,6 +267,17 @@ class DeviceCacheLoader:
                 np.asarray(data[i][0] if tup else data[i])
                 for i in range(len(data))
             ])
+            if tup and labels is None and getattr(
+                    data, "num_classes", 0):
+                # labeled dataset (e.g. BlobFacesDataset(num_classes=k)):
+                # carry its labels into the cache for conditional training
+                labels = np.asarray([data[i][1] for i in range(len(data))],
+                                    dtype=np.int32)
+        if labels is not None:
+            labels = np.asarray(labels, dtype=np.int32)
+            if labels.shape != (arr.shape[0],):
+                raise ValueError(
+                    f"labels must be ({arr.shape[0]},), got {labels.shape}")
         if arr.ndim != 4:
             raise ValueError(f"expected (N,H,W,C) corpus, got {arr.shape}")
         if quantize:
@@ -298,6 +312,8 @@ class DeviceCacheLoader:
                 pad = (-arr.shape[0]) % D
                 if pad:  # wrap-pad; __iter__ never draws indices >= self.n
                     arr = np.concatenate([arr, arr[:pad]], axis=0)
+                    if labels is not None:
+                        labels = np.concatenate([labels, labels[:pad]])
                 corpus_sh = NamedSharding(sharding.mesh, P(axis))
                 if progress:
                     print(f"[CACHE] sharding corpus over {axis!r} (x{D}): "
@@ -312,6 +328,22 @@ class DeviceCacheLoader:
             corpus_sh = None
         if not (shard_corpus and sharding is not None):
             self.corpus = _chunked_upload(arr, corpus_sh, progress=progress)
+        # labels live in HBM too (4 bytes/item): per-step batches stay pure
+        # on-device gathers even for conditional training
+        self.labels = None
+        if labels is not None:
+            if shard_corpus and sharding is not None:
+                lab_sh = NamedSharding(sharding.mesh, P(sharding.spec[0]))
+                self.labels = jax.make_array_from_callback(
+                    labels.shape, lab_sh, lambda i: labels[i])
+            else:
+                self.labels = jax.device_put(labels, corpus_sh)
+
+        label_spec = None
+        if sharding is not None and labels is not None:
+            from jax.sharding import NamedSharding as _NS, PartitionSpec as _P
+
+            label_spec = _NS(sharding.mesh, _P(sharding.spec[0]))
 
         @jax.jit
         def _gather(corpus, idx):
@@ -322,7 +354,16 @@ class DeviceCacheLoader:
                 b = jax.lax.with_sharding_constraint(b, sharding)
             return b
 
+        @jax.jit
+        def _gather_labeled(corpus, labs, idx):
+            b = _gather(corpus, idx)
+            y = labs[idx]
+            if label_spec is not None:
+                y = jax.lax.with_sharding_constraint(y, label_spec)
+            return b, y
+
         self._gather = _gather
+        self._gather_labeled = _gather_labeled
 
     def set_epoch(self, epoch: int) -> None:
         self._epoch = int(epoch)
@@ -338,13 +379,18 @@ class DeviceCacheLoader:
         if self.shuffle:
             np.random.default_rng(self.seed + self._epoch).shuffle(idx)
         self._epoch += 1
+
+        def emit(sel):
+            if self.labels is not None:
+                return self._gather_labeled(self.corpus, self.labels,
+                                            jnp.asarray(sel))
+            return self._gather(self.corpus, jnp.asarray(sel)), None
+
         nb = self.n // self.batch_size
         for i in range(nb):
-            sel = idx[i * self.batch_size:(i + 1) * self.batch_size]
-            yield self._gather(self.corpus, jnp.asarray(sel)), None
+            yield emit(idx[i * self.batch_size:(i + 1) * self.batch_size])
         if not self.drop_last and self.n % self.batch_size:
-            sel = idx[nb * self.batch_size:]
-            yield self._gather(self.corpus, jnp.asarray(sel)), None
+            yield emit(idx[nb * self.batch_size:])
 
 
 def device_prefetch(iterator, size: int = 2, sharding=None,
@@ -366,7 +412,7 @@ def device_prefetch(iterator, size: int = 2, sharding=None,
     def put(item):
         x, y = item if isinstance(item, tuple) else (item, None)
         xd = jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
-        if put_labels and y is not None:
+        if put_labels and y is not None and not isinstance(y, jax.Array):
             y = np.asarray(y, dtype=np.int32)
             y = (jax.device_put(y, label_sharding)
                  if label_sharding is not None else jax.device_put(y))

@@ -83,13 +83,20 @@ def _saved_train_config(ckpt_path: str) -> Optional[TrainConfig]:
 
 def _batch_labels(batch):
     """Labels from a loader item, for conditional training: requires the
-    ``(images, labels)`` protocol (every loader in ``data/`` follows it)."""
-    if not (isinstance(batch, (tuple, list)) and len(batch) >= 2):
+    ``(images, labels)`` protocol (every loader in ``data/`` follows it).
+    Device-resident labels (``DeviceCacheLoader(labels=...)``) pass through
+    untouched — pulling them to host would undo the cache."""
+    if (not (isinstance(batch, (tuple, list)) and len(batch) >= 2)
+            or batch[1] is None):
         raise ValueError(
             "conditional model (num_classes > 0) needs (images, labels) "
-            "batches; this loader yields bare arrays (DeviceCacheLoader "
-            "and corpus caches are unlabeled — use DataLoader over a "
-            "labeled dataset)")
+            "batches; this loader yields no labels (pass labels= / a "
+            "labeled dataset to DeviceCacheLoader, or use DataLoader over "
+            "a labeled dataset)")
+    if isinstance(batch[1], jax.Array):
+        if batch[1].ndim != 1:
+            raise ValueError(f"expected (B,) labels, got {batch[1].shape}")
+        return batch[1]
     y = np.asarray(batch[1], dtype=np.int32)
     if y.ndim != 1:
         raise ValueError(f"expected (B,) integer labels, got {y.shape}")

@@ -426,3 +426,80 @@ def test_device_cache_sharded_corpus():
 
     with pytest.raises(ValueError, match="needs a batch"):
         DeviceCacheLoader(arr, 8, shard_corpus=True)
+
+
+def test_device_cache_labeled():
+    """labels= pins a label vector in HBM next to the corpus: batches come
+    back as (x, y) device arrays with the SAME gather order, a labeled
+    dataset's labels are harvested automatically, and the sharded corpus
+    pads/shards its labels consistently."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    from ddpm_diffusion_model_tpu.data import (
+        BlobFacesDataset, DataLoader, DeviceCacheLoader)
+    from ddpm_diffusion_model_tpu.parallel import batch_sharding, make_mesh
+
+    rng = np.random.default_rng(0)
+    arr = rng.normal(size=(24, 8, 8, 3)).astype(np.float32) * 0.4
+    labels = (np.arange(24) % 5).astype(np.int64)
+
+    dev = DeviceCacheLoader(arr, 8, shuffle=True, seed=3, labels=labels)
+    host = DataLoader(ArrayDataset(arr, labels), 8, shuffle=True, seed=3)
+    for (xd, yd), (xh, yh) in zip(dev, host):
+        assert isinstance(xd, jax.Array) and isinstance(yd, jax.Array)
+        np.testing.assert_array_equal(np.asarray(yd), yh)
+        np.testing.assert_allclose(np.asarray(xd), xh, atol=1e-6)
+
+    # labeled dataset (num_classes) harvests labels automatically
+    ds = BlobFacesDataset(8, img_size=8, seed=0, num_classes=4)
+    auto = DeviceCacheLoader(ds, 4, shuffle=False)
+    _, y0 = next(iter(auto))
+    np.testing.assert_array_equal(np.asarray(y0), [0, 1, 2, 3])
+
+    # sharded corpus: wrap-padded labels, batches equal the replicated path
+    mesh = make_mesh()
+    shd = batch_sharding(mesh)
+    sharded = DeviceCacheLoader(arr[:20], 8, shuffle=False, sharding=shd,
+                                shard_corpus=True,
+                                labels=labels[:20])
+    plain = DeviceCacheLoader(arr[:20], 8, shuffle=False,
+                              labels=labels[:20])
+    for (xs, ys), (xp, yp) in zip(sharded, plain):
+        np.testing.assert_array_equal(np.asarray(ys), np.asarray(yp))
+        np.testing.assert_allclose(np.asarray(xs), np.asarray(xp), atol=1e-6)
+
+    with pytest.raises(ValueError, match="labels"):
+        DeviceCacheLoader(arr, 8, labels=labels[:5])
+
+
+def test_device_cache_labeled_trains_conditional():
+    """End to end: a conditional model trains from the labeled HBM cache
+    (the slow-host path for CFG training) — zero host batches per step."""
+    import jax.numpy as jnp
+
+    from ddpm_diffusion_model_tpu.data import BlobFacesDataset, DeviceCacheLoader
+    from ddpm_diffusion_model_tpu.models import UNetConfig, UNetDenoiser
+    from ddpm_diffusion_model_tpu.ops import DiffusionConfig, make_schedule
+    from ddpm_diffusion_model_tpu.training import (
+        TrainConfig, init_train_state, make_optimizer, make_train_step,
+        train_one_epoch)
+    import jax
+
+    cfg = UNetConfig(base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+                     attn_resolutions=(), time_embed_dim=16, num_heads=1,
+                     head_dim=8, img_resolution=8, num_classes=4)
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    sched = make_schedule(DiffusionConfig(T=20, img_size=8))
+    params = model.init(jax.random.key(0), jnp.ones((1, 8, 8, 3)),
+                        jnp.zeros((1,)))
+    tcfg = TrainConfig(base_lr=1e-3, warmup_steps=2)
+    tx = make_optimizer(tcfg)
+    state, _ = init_train_state(params, tcfg, tx=tx)
+    step = make_train_step(model, sched, tx, tcfg)
+    loader = DeviceCacheLoader(BlobFacesDataset(16, img_size=8, seed=0,
+                                                num_classes=4),
+                               8, seed=0, quantize=True)
+    state, avg_loss, n_batches, _ = train_one_epoch(
+        step, state, loader, labeled=True)
+    assert n_batches == 2 and np.isfinite(avg_loss)
