@@ -193,7 +193,8 @@ def main():
                     help="ResBlock mask impl (default: model default)")
     ap.add_argument("--step-tail", choices=["flat", "tree"],
                     help="EMA lerp + grad-norm metric on one raveled vector "
-                         "(flat, default) vs ~300 leaf kernels (tree)")
+                         "(flat) vs ~300 leaf kernels (tree, the measured "
+                         "winner and TrainConfig default)")
     ap.add_argument("--dropout-rng", choices=["rbg", "threefry"],
                     help="dropout key family (default: TrainConfig default)")
     args = ap.parse_args()

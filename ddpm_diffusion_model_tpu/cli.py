@@ -173,16 +173,20 @@ def _make_loader(args, exp, with_eval=False, mesh=None):
             # --device-cache pins (corpus, labels) in HBM together
             ds = BlobFacesDataset(args.synthetic_size, img_size=exp.img_size,
                                   seed=exp.seed, num_classes=nc)
-            arr = np.stack([ds[i][0] for i in range(len(ds))])
             if device_cache:
                 from .data import DeviceCacheLoader
 
-                train = DeviceCacheLoader(arr, exp.batch_size, seed=exp.seed,
-                                          labels=_smoke_labels(len(ds)),
+                # the cache materializes the dataset and harvests its own
+                # (img, label) pairing — no parallel label derivation to
+                # drift out of sync with the dataset's assignment
+                train = DeviceCacheLoader(ds, exp.batch_size, seed=exp.seed,
                                           **cache_kw)
             else:
+                pairs = [ds[i] for i in range(len(ds))]
                 train = DataLoader(
-                    ArrayDataset(arr, _smoke_labels(len(ds))),
+                    ArrayDataset(np.stack([p[0] for p in pairs]),
+                                 np.asarray([p[1] for p in pairs],
+                                            dtype=np.int32)),
                     exp.batch_size, seed=exp.seed, shuffle=True)
         elif getattr(args, "preload", False) or device_cache:
             # render the whole corpus to RAM once (~50 MB per 1k 64px
@@ -203,10 +207,19 @@ def _make_loader(args, exp, with_eval=False, mesh=None):
             if device_cache:
                 from .data import DeviceCacheLoader, blob_faces_array
 
+                # conditional runs need a LABELED eval set (the eval pass
+                # feeds (x, y) through the loss); unconditional keeps the
+                # cheaper vectorized renderer
+                val_src = (BlobFacesDataset(_eval_set_size(args, exp),
+                                            img_size=exp.img_size,
+                                            seed=exp.seed + 777,
+                                            num_classes=nc)
+                           if nc else
+                           blob_faces_array(_eval_set_size(args, exp),
+                                            img_size=exp.img_size,
+                                            seed=exp.seed + 777))
                 val = DeviceCacheLoader(
-                    blob_faces_array(_eval_set_size(args, exp),
-                                     img_size=exp.img_size,
-                                     seed=exp.seed + 777),
+                    val_src,
                     exp.batch_size, shuffle=False, quantize=True)
             else:
                 val_ds = BlobFacesDataset(_eval_set_size(args, exp),

@@ -267,10 +267,11 @@ class DeviceCacheLoader:
                 np.asarray(data[i][0] if tup else data[i])
                 for i in range(len(data))
             ])
-            if tup and labels is None and getattr(
-                    data, "num_classes", 0):
-                # labeled dataset (e.g. BlobFacesDataset(num_classes=k)):
-                # carry its labels into the cache for conditional training
+            if tup and labels is None:
+                # labeled dataset (anything yielding (img, label) pairs —
+                # BlobFacesDataset(num_classes=k), ArrayDataset(arr, labels),
+                # ...): carry its labels into the cache for conditional
+                # training rather than silently de-labeling the corpus
                 labels = np.asarray([data[i][1] for i in range(len(data))],
                                     dtype=np.int32)
         if labels is not None:
@@ -412,10 +413,17 @@ def device_prefetch(iterator, size: int = 2, sharding=None,
     def put(item):
         x, y = item if isinstance(item, tuple) else (item, None)
         xd = jax.device_put(x, sharding) if sharding is not None else jax.device_put(x)
-        if put_labels and y is not None and not isinstance(y, jax.Array):
-            y = np.asarray(y, dtype=np.int32)
-            y = (jax.device_put(y, label_sharding)
-                 if label_sharding is not None else jax.device_put(y))
+        if put_labels and y is not None:
+            if not isinstance(y, jax.Array):
+                y = np.asarray(y, dtype=np.int32)
+            if label_sharding is not None:
+                # always honor an explicit sharding: on an already
+                # device-resident label array this is an ICI reshard, not a
+                # host pull — skipping it would feed the jitted step
+                # mesh-sharded images with single-device labels
+                y = jax.device_put(y, label_sharding)
+            elif not isinstance(y, jax.Array):
+                y = jax.device_put(y)
         return (xd, y)
 
     it = iter(iterator)

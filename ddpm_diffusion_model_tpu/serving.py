@@ -17,6 +17,7 @@ from __future__ import annotations
 
 import io
 import json
+import math
 import sys
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -65,6 +66,7 @@ class SamplerService:
         self._stats_lock = threading.Lock()
         self._t_start = time.time()
         self._stats = {"requests": 0, "samples": 0, "errors": 0,
+                       "client_errors": 0,
                        "coalesced_batches": 0, "sharded_batches": 0}
         self._latencies: list = []  # seconds, last _LAT_WINDOW completions
         # request coalescing (eta=0): pending queues per (steps, schedule)
@@ -77,6 +79,10 @@ class SamplerService:
     def record_error(self) -> None:
         with self._stats_lock:
             self._stats["errors"] += 1
+
+    def record_client_error(self) -> None:
+        with self._stats_lock:
+            self._stats["client_errors"] += 1
 
     def metrics(self) -> dict:
         """Service counters and latency quantiles over the recent window —
@@ -135,6 +141,14 @@ class SamplerService:
     # entries instead of letting queries mint unbounded recompiles.
     STEP_CHOICES = (1, 2, 5, 10, 25, 50, 100, 250, 1000)
     MAX_N = 64
+    # guidance is likewise a compile-time constant (it gates the doubled
+    # CFG forward inside the scan) AND a coalescer queue key: snap it to a
+    # 0.25 grid on [0, 8] so neither the XLA cache nor self._queues can be
+    # grown without bound by adversarial query strings.
+    GUIDANCE_STEP = 0.25
+    MAX_GUIDANCE = 8.0
+    SCHEDULE_KINDS = ("t_linear", "linear", "cosine", "t_cosine", "karras",
+                      "alpha_bar_cosine")
 
     def sample(self, n: int = 4, steps: int = 50, eta: float = 0.0,
                seed: int = 0, schedule_kind: str = "t_linear",
@@ -160,6 +174,19 @@ class SamplerService:
 
         if sampler not in ("ddim", "dpmpp"):
             raise ValueError(f"sampler must be 'ddim'|'dpmpp', got {sampler!r}")
+        if schedule_kind not in self.SCHEDULE_KINDS:
+            # validate BEFORE the eta fork so a bad kind is the same
+            # ValueError (→ 400) whether or not the request coalesces
+            raise ValueError(
+                f"schedule must be one of {self.SCHEDULE_KINDS}, "
+                f"got {schedule_kind!r}")
+        if not math.isfinite(guidance):
+            raise ValueError(f"guidance must be finite, got {guidance!r}")
+        # snap guidance to the bounded compile/coalesce grid (see the class
+        # constants); 1.0 always maps to itself so unconditional requests
+        # never pay CFG
+        guidance = min(max(float(guidance), 0.0), self.MAX_GUIDANCE)
+        guidance = round(guidance / self.GUIDANCE_STEP) * self.GUIDANCE_STEP
         num_classes = int(getattr(self.model.config, "num_classes", 0))
         if class_id is not None or guidance != 1.0:
             if not num_classes:
@@ -400,13 +427,19 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                 class_id = (int(q["class_id"]) if "class_id" in q else None)
                 guidance = float(q.get("guidance", 1.0))
             except ValueError as e:
+                service.record_client_error()
                 self._json(400, {"error": f"bad parameter: {e}"})
                 return
             try:
                 x, used = service.sample(n=n, steps=steps, eta=eta, seed=seed,
                                          schedule_kind=kind, sampler=sampler,
                                          class_id=class_id, guidance=guidance)
-            except ValueError as e:  # bad class/guidance vs this checkpoint
+            except ValueError as e:
+                # sample() validates every request parameter up front
+                # (sampler/schedule/guidance/class_id), so a ValueError here
+                # is a client error by construction — counted separately
+                # from device-side failures in /metrics
+                service.record_client_error()
                 self._json(400, {"error": str(e)})
                 return
             except Exception as e:  # surface sampler errors as 500s

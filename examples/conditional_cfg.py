@@ -67,27 +67,24 @@ def main(argv=None):
     ts = tuple(int(t) for t in build_ddim_schedule(
         "t_linear", args.steps, sched.T,
         alphas_cumprod=np.asarray(sched.alphas_cumprod)))
+    y = np.repeat(np.arange(K, dtype=np.int32), args.n)
+    x01 = None  # unit-interval samples from the LAST guidance value
     for w in args.guidance:
-        y = np.repeat(np.arange(K, dtype=np.int32), args.n)
         x, _ = _ddim_jit(
             model, state.ema_params, sched, jax.random.key(1234),
             (K * args.n, exp.img_size, exp.img_size, 3), ts, 0.0, None,
             y=_label_vector(y, K * args.n), guidance=float(w))
-        pred = classify_bg(np.asarray(to_unit_interval(x)), K)
+        x01 = np.asarray(to_unit_interval(x))
+        pred = classify_bg(x01, K)
         acc = float((pred == y).mean())
         result[f"acc_guidance_{w:g}"] = round(acc, 4)
 
-    if args.out:
+    if args.out and x01 is not None:
         from ddpm_diffusion_model_tpu.utils.images import make_grid, save_image
 
-        # artifact: rows = classes at the LAST guidance value
-        y = np.repeat(np.arange(K, dtype=np.int32), args.n)
-        x, _ = _ddim_jit(
-            model, state.ema_params, sched, jax.random.key(1234),
-            (K * args.n, exp.img_size, exp.img_size, 3), ts, 0.0, None,
-            y=_label_vector(y, K * args.n), guidance=float(args.guidance[-1]))
-        save_image(make_grid(np.asarray(to_unit_interval(x)), nrow=args.n),
-                   args.out)
+        # artifact: rows = classes at the LAST guidance value (reuses the
+        # loop's final pass — same key/labels/ladder, no extra sampling)
+        save_image(make_grid(x01, nrow=args.n), args.out)
         result["grid"] = args.out
     print(json.dumps(result))
 

@@ -229,3 +229,107 @@ def test_serving_buckets_bound_compiles():
     # snapping: 47 -> 50, 3 -> 2, 700 -> 1000 (nearest)
     pick = lambda s: min(SamplerService.STEP_CHOICES, key=lambda c: abs(c - s))
     assert pick(47) == 50 and pick(3) == 2 and pick(800) == 1000
+
+
+# ---------------------------------------------------------------------------
+# round-3 review sweep (CFG / labeled-cache / serving-guidance findings)
+# ---------------------------------------------------------------------------
+
+
+def _tiny_service(num_classes=0):
+    from ddpm_diffusion_model_tpu.models import UNetConfig, UNetDenoiser
+    from ddpm_diffusion_model_tpu.ops import DiffusionConfig, make_schedule
+    from ddpm_diffusion_model_tpu.serving import SamplerService
+
+    cfg = UNetConfig(
+        base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+        attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+        img_resolution=8, num_classes=num_classes,
+    )
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    sched = make_schedule(DiffusionConfig(T=20, img_size=8))
+    params = model.init(jax.random.key(0), jnp.ones((1, 8, 8, 3)),
+                        jnp.zeros((1,)))
+    return SamplerService(model, params, sched, 8)
+
+
+def test_serving_guidance_snapped_to_bounded_grid():
+    """guidance is a compile-time constant AND a coalescer queue key: every
+    accepted value must land on the bounded 0.25 grid, so adversarial query
+    strings cannot mint unbounded XLA recompiles or queue entries."""
+    svc = _tiny_service(num_classes=3)
+    _, used = svc.sample(n=1, steps=2, class_id=1, guidance=2.9999)
+    assert used["guidance"] == 3.0
+    _, used = svc.sample(n=1, steps=2, class_id=1, guidance=99.0)
+    assert used["guidance"] == svc.MAX_GUIDANCE  # clamped
+    # 1.0 maps to itself: unconditional requests never pay the CFG forward
+    assert round(1.0 / svc.GUIDANCE_STEP) * svc.GUIDANCE_STEP == 1.0
+    with pytest.raises(ValueError, match="finite"):
+        svc.sample(n=1, steps=2, guidance=float("nan"))
+
+
+def test_serving_bad_schedule_is_valueerror_any_eta():
+    """A bogus schedule kind must raise the SAME error class whether the
+    request coalesces (eta=0) or goes direct (eta>0) — upfront validation,
+    not a RuntimeError from inside the coalescer worker."""
+    svc = _tiny_service()
+    for eta in (0.0, 0.5):
+        with pytest.raises(ValueError, match="schedule"):
+            svc.sample(n=1, steps=2, eta=eta, schedule_kind="bogus")
+
+
+def test_device_cache_harvests_any_labeled_dataset():
+    """Tuple-yielding datasets WITHOUT a num_classes attribute (e.g.
+    ArrayDataset(arr, labels)) must keep their labels in the cache."""
+    from ddpm_diffusion_model_tpu.data import DeviceCacheLoader
+
+    arr = np.random.default_rng(0).normal(size=(12, 4, 4, 3)).astype(np.float32)
+    labels = (np.arange(12, dtype=np.int32) * 7) % 3  # NOT i % k
+    dl = DeviceCacheLoader(ArrayDataset(arr, labels), 4, shuffle=False)
+    got = np.concatenate([np.asarray(y) for _, y in dl])
+    np.testing.assert_array_equal(got, labels)
+
+
+def test_device_prefetch_reshards_device_resident_labels():
+    """device_prefetch must honor an explicit label_sharding even when the
+    labels are already jax.Arrays (single-device cache feeding a mesh run)."""
+    from ddpm_diffusion_model_tpu.data.loader import device_prefetch
+    from ddpm_diffusion_model_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh()
+    lsh = NamedSharding(mesh, P("data"))
+    x = np.zeros((8, 4, 4, 3), np.float32)
+    y_dev = jax.device_put(np.arange(8, dtype=np.int32),
+                           jax.devices()[0])  # committed single-device
+    out = list(device_prefetch(iter([(x, y_dev)]), size=1,
+                               put_labels=True, label_sharding=lsh))
+    assert len(out) == 1
+    _, y = out[0]
+    assert y.sharding.is_equivalent_to(lsh, y.ndim)
+
+
+def test_cli_conditional_device_cache_eval_loader_is_labeled(tmp_path):
+    """--data blobs --device-cache with a conditional model + eval: the val
+    loader must yield (x, y) pairs (the eval pass feeds labels through the
+    loss), and the train cache must carry the dataset's own labels."""
+    import argparse
+    import dataclasses
+
+    from ddpm_diffusion_model_tpu.cli import _make_loader
+    from ddpm_diffusion_model_tpu.utils.config import get_preset
+
+    exp = get_preset("celeba64_low")
+    exp = dataclasses.replace(
+        exp, img_size=8, batch_size=4,
+        model=dataclasses.replace(exp.model, num_classes=4,
+                                  img_resolution=8))
+    args = argparse.Namespace(
+        data="blobs", synthetic_size=16, preload=False, device_cache=True,
+        device_cache_sharded=False, eval_size=8)
+    train, val = _make_loader(args, exp, with_eval=True)
+    xb, yb = next(iter(train))
+    assert yb is not None and int(np.asarray(yb).max()) < 4
+    assert val is not None
+    xv, yv = next(iter(val))
+    assert yv is not None and yv.shape[0] == xv.shape[0]

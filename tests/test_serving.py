@@ -97,17 +97,20 @@ def test_concurrent_requests(server):
     assert len(results) == 4 and all(c == 200 for c, _ in results)
 
 
-def test_sampler_error_returns_500(server):
-    """Internal sampler failures surface as HTTP 500 JSON, not a hung
-    connection."""
+def test_bad_schedule_is_client_error(server):
+    """A bogus schedule kind is caught by upfront validation and returned
+    as 400 (counted in client_errors), REGARDLESS of eta — it must not leak
+    into the coalescer worker and come back as a 500."""
     import urllib.error
 
-    # steps snaps to >=1 so force an error via a bad schedule kind
-    with pytest.raises(urllib.error.HTTPError) as ei:
-        _get(server + "/sample?n=1&steps=2&schedule=bogus")
-    assert ei.value.code == 500
-    body = json.loads(ei.value.read())
-    assert "error" in body
+    for eta in ("0", "0.5"):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _get(server + f"/sample?n=1&steps=2&eta={eta}&schedule=bogus")
+        assert ei.value.code == 400
+        body = json.loads(ei.value.read())
+        assert "error" in body
+    _c, _t, mbody = _get(server + "/metrics")
+    assert json.loads(mbody)["client_errors"] >= 2
 
 
 def test_used_parameter_headers(server):
