@@ -27,6 +27,8 @@ __all__ = [
     "sample_timesteps",
     "q_sample",
     "loss_simple",
+    "prediction_target",
+    "model_output_to_eps",
     "predict_x0",
     "posterior_mean_variance",
     "p_sample_step",
@@ -56,6 +58,64 @@ def q_sample(
     return sqrt_ab * x0 + sqrt_omb * eps
 
 
+def prediction_target(
+    sched: DiffusionSchedule,
+    x0: jnp.ndarray,
+    t: jnp.ndarray,
+    noise: jnp.ndarray,
+) -> jnp.ndarray:
+    """Regression target in the network's NATIVE output space.
+
+    - "epsilon": the noise itself (the reference's only mode,
+      ``difussion_class.py:95-116``)
+    - "v": v = sqrt(ab_t) eps - sqrt(1-ab_t) x0 (Salimans & Ho 2022) —
+      bounded at every t, the modern default for high-res / distillation
+    - "x0": the clean image
+    """
+    kind = sched.prediction_type
+    if kind == "epsilon":
+        return noise
+    if kind == "x0":
+        return x0
+    if kind == "v":
+        sqrt_ab = extract(sched.sqrt_alphas_cumprod, t, x0.ndim)
+        sqrt_omb = extract(sched.sqrt_one_minus_alphas_cumprod, t, x0.ndim)
+        return sqrt_ab * noise - sqrt_omb * x0
+    raise ValueError(f"unknown prediction_type {kind!r}")
+
+
+def model_output_to_eps(
+    sched: DiffusionSchedule,
+    out: jnp.ndarray,
+    x_t: jnp.ndarray,
+    t: jnp.ndarray,
+) -> jnp.ndarray:
+    """Convert a network output in the schedule's native space back to an
+    eps estimate — the inverse of :func:`prediction_target` given x_t.
+
+    Affine in ``out`` at fixed (x_t, t), so classifier-free guidance
+    combines identically before or after this conversion.  Every sampler
+    consumes eps; wrapping this once at the eps_fn boundary keeps the whole
+    sampling stack parameterization-agnostic.
+
+    - "v":  eps = sqrt(ab_t) v + sqrt(1-ab_t) x_t
+            (from x_t = sqrt(ab) x0 + sqrt(1-ab) eps)
+    - "x0": eps = (x_t - sqrt(ab_t) x0_hat) / sqrt(1-ab_t); t=0 has
+            sqrt(1-ab) ~= sqrt(beta_0) > 0, and samplers never divide
+            by an exactly-zero coefficient on the trained range
+    """
+    kind = sched.prediction_type
+    if kind == "epsilon":
+        return out
+    sqrt_ab = extract(sched.sqrt_alphas_cumprod, t, x_t.ndim)
+    sqrt_omb = extract(sched.sqrt_one_minus_alphas_cumprod, t, x_t.ndim)
+    if kind == "v":
+        return sqrt_ab * out + sqrt_omb * x_t
+    if kind == "x0":
+        return (x_t - sqrt_ab * out) / (sqrt_omb + 1e-12)
+    raise ValueError(f"unknown prediction_type {kind!r}")
+
+
 def loss_simple(
     sched: DiffusionSchedule,
     eps_fn: EpsFn,
@@ -64,16 +124,22 @@ def loss_simple(
     noise: jnp.ndarray,
     weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
-    """L_simple: E[ ||eps - eps_hat(x_t, t)||^2 ], per-sample MSE over all
+    """L_simple: E[ ||target - net(x_t, t)||^2 ], per-sample MSE over all
     non-batch dims, optional per-sample weight, then batch mean.
 
     Parity: ``difussion_class.py:95-116``.  The MSE is accumulated in float32
     even when the model computes in bfloat16 so the loss/gradient signal keeps
     full precision (the reference relies on torch autocast doing the same).
+
+    Under ``sched.prediction_type != "epsilon"`` the regression runs in the
+    network's native space (target from :func:`prediction_target`) — the
+    standard formulation for v-/x0-prediction; for "epsilon" this is exactly
+    the reference's loss.
     """
     x_t = q_sample(sched, x0, t, noise)
     eps_pred = eps_fn(x_t, t)
-    diff = (noise - eps_pred).astype(jnp.float32)
+    target = prediction_target(sched, x0, t, noise)
+    diff = (target - eps_pred).astype(jnp.float32)
     reduce_axes = tuple(range(1, x0.ndim))
     mse = jnp.mean(diff * diff, axis=reduce_axes)
     if weight is not None:

@@ -79,6 +79,15 @@ class DiffusionConfig:
     clamp_x0: bool = True
     dynamic_threshold: Optional[float] = None
     img_size: Optional[int] = None
+    # what the network OUTPUT means (the reference is epsilon-only):
+    #   "epsilon" — predict the noise (DDPM, Ho et al. 2020)
+    #   "v"       — predict v = sqrt(ab) eps - sqrt(1-ab) x0
+    #               (Salimans & Ho 2022, progressive distillation)
+    #   "x0"      — predict the clean image directly
+    # Training targets the native space; samplers convert back to eps at
+    # the eps_fn boundary (ops/diffusion.py model_output_to_eps), so every
+    # sampler works unchanged under any parameterization.
+    prediction_type: str = "epsilon"
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
@@ -113,6 +122,7 @@ class DiffusionSchedule:
     clamp_x0: bool = struct.field(pytree_node=False, default=True)
     dynamic_threshold: Optional[float] = struct.field(pytree_node=False, default=None)
     img_size: Optional[int] = struct.field(pytree_node=False, default=None)
+    prediction_type: str = struct.field(pytree_node=False, default="epsilon")
 
 
 def make_schedule(config: DiffusionConfig) -> DiffusionSchedule:
@@ -132,6 +142,9 @@ def make_schedule(config: DiffusionConfig) -> DiffusionSchedule:
         betas = beta_schedule_cosine(config.T, s=config.cosine_s)
     else:
         raise ValueError(f"unknown schedule: {config.schedule!r}")
+    if config.prediction_type not in ("epsilon", "v", "x0"):
+        raise ValueError("prediction_type must be 'epsilon'|'v'|'x0', "
+                         f"got {config.prediction_type!r}")
 
     betas = betas.astype(np.float32)
     alphas = 1.0 - betas
@@ -156,6 +169,7 @@ def make_schedule(config: DiffusionConfig) -> DiffusionSchedule:
         clamp_x0=bool(config.clamp_x0),
         dynamic_threshold=config.dynamic_threshold,
         img_size=config.img_size,
+        prediction_type=config.prediction_type,
     )
 
 

@@ -55,7 +55,7 @@ def _sharded_sample_jit(model, params, sched, key, shape, kind, num_steps,
         # batch axis sharded (GSPMD propagates through concat)
         y = jax.lax.with_sharding_constraint(
             jnp.asarray(y, jnp.int32), NamedSharding(mesh, P(axis)))
-    eps_fn = cfg_eps_fn(model, params, y, guidance)
+    eps_fn = cfg_eps_fn(model, params, y, guidance, sched=sched)
     if kind == "ddpm":
         out, _ = ddpm_sample_loop(sched, eps_fn, x, k_loop,
                                   num_steps=num_steps)

@@ -92,6 +92,10 @@ def ddim_sample_loop_cached(
 
         eps, feats = jax.lax.cond(do_refresh, branch_refresh, branch_reuse,
                                   x, t, feats)
+        if sched.prediction_type != "epsilon":
+            from ..ops.diffusion import model_output_to_eps
+
+            eps = model_output_to_eps(sched, eps, x, t)
         tprev = jnp.full((B,), tp, dtype=jnp.int32)
         noise = jax.random.normal(
             jax.random.fold_in(key, tc), x.shape, dtype=x.dtype

@@ -44,7 +44,7 @@ __all__ = [
 ]
 
 
-def cfg_eps_fn(model, params, y=None, guidance: float = 1.0):
+def cfg_eps_fn(model, params, y=None, guidance: float = 1.0, sched=None):
     """Build the ``eps_fn(x_t, t)`` closure every sampler consumes, with
     optional class conditioning + classifier-free guidance.
 
@@ -55,16 +55,32 @@ def cfg_eps_fn(model, params, y=None, guidance: float = 1.0):
       ``eps = eps_u + w * (eps_c - eps_u)`` with the conditional and NULL
       branches batched into ONE doubled forward (one MXU pass, no second
       dispatch); ``w=0`` is unconditional, ``w>1`` amplifies the class.
+
+    ``sched``: when given and ``sched.prediction_type != "epsilon"``, the
+    network's native output (v / x0) is converted to eps AFTER the CFG
+    combine (the conversion is affine in the output at fixed (x_t, t), so
+    combine-then-convert equals convert-then-combine exactly, for one
+    conversion instead of two).
     """
+    convert = (sched is not None
+               and sched.prediction_type != "epsilon")
+
+    def _to_eps(out, xt, t):
+        if not convert:
+            return out
+        from ..ops.diffusion import model_output_to_eps
+
+        return model_output_to_eps(sched, out, xt, t)
+
     if y is None:
-        return lambda xt, t: model.apply(params, xt, t)
+        return lambda xt, t: _to_eps(model.apply(params, xt, t), xt, t)
     num_classes = int(getattr(model.config, "num_classes", 0))
     if not num_classes:
         raise ValueError("class-conditional sampling needs a conditional "
                          "model (num_classes > 0)")
     y = jnp.asarray(y, jnp.int32)
     if float(guidance) == 1.0:
-        return lambda xt, t: model.apply(params, xt, t, y=y)
+        return lambda xt, t: _to_eps(model.apply(params, xt, t, y=y), xt, t)
 
     def eps_fn(xt, t):
         xx = jnp.concatenate([xt, xt])
@@ -75,7 +91,7 @@ def cfg_eps_fn(model, params, y=None, guidance: float = 1.0):
         w = jnp.asarray(guidance, jnp.float32)
         out = e_u.astype(jnp.float32) + w * (
             e_c.astype(jnp.float32) - e_u.astype(jnp.float32))
-        return out.astype(xt.dtype)
+        return _to_eps(out.astype(xt.dtype), xt, t)
 
     return eps_fn
 
@@ -102,7 +118,7 @@ def _ddpm_jit(model, params, sched, key, shape, num_steps, capture_steps,
               y=None, guidance=1.0):
     k_init, k_loop = jax.random.split(key)
     x = jax.random.normal(k_init, shape, dtype=jnp.float32)
-    eps_fn = cfg_eps_fn(model, params, y, guidance)
+    eps_fn = cfg_eps_fn(model, params, y, guidance, sched=sched)
     return ddpm_sample_loop(
         sched, eps_fn, x, k_loop, num_steps=num_steps, capture_steps=capture_steps
     )
@@ -117,7 +133,7 @@ def _ddim_jit(model, params, sched, key, shape, timesteps, eta, capture_steps,
               y=None, guidance=1.0):
     k_init, k_loop = jax.random.split(key)
     x = jax.random.normal(k_init, shape, dtype=jnp.float32)
-    eps_fn = cfg_eps_fn(model, params, y, guidance)
+    eps_fn = cfg_eps_fn(model, params, y, guidance, sched=sched)
     return ddim_sample_loop(
         sched, eps_fn, x, k_loop,
         timesteps=np.asarray(timesteps, dtype=np.int32),
@@ -134,7 +150,7 @@ def _dpmpp_jit(model, params, sched, key, shape, timesteps, y=None,
     # the same init noise across samplers (cross-sampler comparisons)
     k_init, _ = jax.random.split(key)
     x = jax.random.normal(k_init, shape, dtype=jnp.float32)
-    eps_fn = cfg_eps_fn(model, params, y, guidance)
+    eps_fn = cfg_eps_fn(model, params, y, guidance, sched=sched)
     return dpmpp2m_sample_loop(
         sched, eps_fn, x,
         timesteps=np.asarray(timesteps, dtype=np.int32), clip_x0=True,
@@ -151,7 +167,7 @@ def _dpmpp_from_init_jit(model, params, sched, x_init, timesteps, y=None,
     ``y``/``guidance``: per-sample CFG (labels concatenate like the init
     noise; row i depends only on (x_i, y_i), so coalescing stays
     per-request deterministic)."""
-    eps_fn = cfg_eps_fn(model, params, y, guidance)
+    eps_fn = cfg_eps_fn(model, params, y, guidance, sched=sched)
     return dpmpp2m_sample_loop(
         sched, eps_fn, x_init,
         timesteps=np.asarray(timesteps, dtype=np.int32), clip_x0=True,
@@ -167,7 +183,7 @@ def _ddim_from_init_jit(model, params, sched, x_init, timesteps, y=None,
     kernel behind the serving coalescer, which concatenates per-request
     init noise into one batch.  Same loop/clip semantics as ``_ddim_jit``;
     ``y``/``guidance`` as in :func:`_dpmpp_from_init_jit`."""
-    eps_fn = cfg_eps_fn(model, params, y, guidance)
+    eps_fn = cfg_eps_fn(model, params, y, guidance, sched=sched)
     out, _ = ddim_sample_loop(
         sched, eps_fn, x_init, jax.random.key(0),
         timesteps=np.asarray(timesteps, dtype=np.int32),
