@@ -134,28 +134,54 @@ def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule, weight_fn=None,
 
 
 def resolve_weight_fn(name):
-    """Built-in per-timestep loss weightings.
+    """Built-in per-timestep loss weightings, defined in EPS space.
 
-    - None / "uniform": L_simple (the reference's default)
+    - None / "uniform": plain L_simple in the network's native space (the
+      reference's default for epsilon; the conventional plain-v-MSE for v)
     - "snr":  w = SNR(t) = ab/(1-ab) — the 'true' VLB eps-weighting
     - "p2":   w = 1/(1+SNR(t)) — perception-prioritized (Choi et al.),
               down-weights the low-noise steps that dominate L_simple
     - "min_snr_5": w = min(SNR, 5)/SNR — Min-SNR-gamma truncation
+
+    Under ``sched.prediction_type != "epsilon"`` the named weightings are
+    converted into the native space so the EFFECTIVE objective is the same
+    one the name means, independent of what the network outputs: at fixed
+    (x_t, t), err_v = err_eps/sqrt(ab) and err_x0 = -sqrt((1-ab)/ab) err_eps,
+    so w_native = w_eps * ab (v) or w_eps * SNR (x0).  E.g. "min_snr_5"
+    under v yields exactly the Min-SNR paper's min(SNR,5)/(SNR+1).
+    Uniform is intentionally NOT converted — plain native-space MSE is the
+    standard loss for each parameterization.
     """
     if name in (None, "uniform"):
         return None
 
+    def ab_of(t, sched):
+        return jnp.take(sched.alphas_cumprod, jnp.clip(t, 0, sched.T - 1))
+
     def snr_of(t, sched):
-        ab = jnp.take(sched.alphas_cumprod, jnp.clip(t, 0, sched.T - 1))
+        ab = ab_of(t, sched)
         return ab / (1.0 - ab)
 
+    def native(w_eps):
+        def fn(t, sched):
+            w = w_eps(t, sched)
+            kind = sched.prediction_type
+            if kind == "v":
+                return w * ab_of(t, sched)
+            if kind == "x0":
+                return w * snr_of(t, sched)
+            return w
+
+        return fn
+
     if name == "snr":
-        return lambda t, sched: snr_of(t, sched)
+        return native(snr_of)
     if name == "p2":
-        return lambda t, sched: 1.0 / (1.0 + snr_of(t, sched))
+        return native(lambda t, sched: 1.0 / (1.0 + snr_of(t, sched)))
     if name == "min_snr_5":
-        return lambda t, sched: jnp.minimum(snr_of(t, sched), 5.0) / jnp.maximum(
-            snr_of(t, sched), 1e-8
+        return native(
+            lambda t, sched: jnp.minimum(snr_of(t, sched), 5.0)
+            / jnp.maximum(snr_of(t, sched), 1e-8)
         )
     raise ValueError(f"unknown loss weighting {name!r}")
 

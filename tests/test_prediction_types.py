@@ -186,6 +186,54 @@ def test_train_step_v_prediction_learns():
     assert np.mean(losses[-3:]) < np.mean(losses[:3])
 
 
+def test_weighting_native_conversion_closed_form(xe):
+    """Named weightings are eps-space definitions converted to the native
+    space: under v, min_snr_5 is exactly the Min-SNR paper's
+    min(SNR,5)/(SNR+1); under x0 it is min(SNR,5)."""
+    from ddpm_diffusion_model_tpu.training.step import resolve_weight_fn
+
+    _, _, t = xe
+    w = resolve_weight_fn("min_snr_5")
+    ab = np.asarray(_sched("v").alphas_cumprod)[np.asarray(t)]
+    snr = ab / (1.0 - ab)
+    np.testing.assert_allclose(np.asarray(w(t, _sched("v"))),
+                               np.minimum(snr, 5.0) / (snr + 1.0), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(w(t, _sched("x0"))),
+                               np.minimum(snr, 5.0), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(w(t, _sched("epsilon"))),
+                               np.minimum(snr, 5.0) / snr, rtol=1e-4)
+
+
+@pytest.mark.parametrize("name", ["snr", "p2", "min_snr_5"])
+@pytest.mark.parametrize("kind", ["v", "x0"])
+def test_weighted_loss_matches_eps_space_objective(xe, name, kind):
+    """Exact identity: the converted weight makes the native-space weighted
+    loss equal the eps-space weighted loss of the SAME predictor — at fixed
+    (x_t, t), err_native is err_eps times a known factor, and the conversion
+    cancels it."""
+    from ddpm_diffusion_model_tpu.training.step import resolve_weight_fn
+
+    x0, eps, t = xe
+    se, sk = _sched("epsilon"), _sched(kind)
+    w = resolve_weight_fn(name)
+
+    # one fixed imperfect predictor, expressed in each native space
+    def f_eps(x_t, tt):
+        return jnp.tanh(x_t) * 0.7
+
+    def f_native(x_t, tt):
+        e = f_eps(x_t, tt)
+        a = extract(sk.sqrt_alphas_cumprod, tt, x_t.ndim)
+        b = extract(sk.sqrt_one_minus_alphas_cumprod, tt, x_t.ndim)
+        if kind == "v":
+            return (e - b * x_t) / a
+        return (x_t - b * e) / (a + 1e-12)
+
+    le = loss_simple(se, f_eps, x0, t, eps, weight=w(t, se))
+    lk = loss_simple(sk, f_native, x0, t, eps, weight=w(t, sk))
+    np.testing.assert_allclose(float(lk), float(le), rtol=2e-4)
+
+
 def test_config_roundtrip_and_legacy_default():
     d = DiffusionConfig(T=10, prediction_type="v").to_dict()
     assert DiffusionConfig.from_dict(d).prediction_type == "v"
