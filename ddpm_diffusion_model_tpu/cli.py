@@ -499,6 +499,53 @@ def cmd_sample_dpmpp(args):
           f"{_cfg_msg(args)}")
 
 
+def cmd_img2img(args):
+    from .sampling import img2img_infer_sample
+    from .utils.images import load_image
+
+    exp = _exp_from_args(args)
+    model, sched, state, _ = _load_state(args.ckpt, exp)
+    init01 = load_image(args.init, size=exp.img_size)
+    img2img_infer_sample(
+        model, state.params, sched, init01 * 2.0 - 1.0, n=args.n,
+        strength=args.strength, steps=args.steps, eta=args.eta,
+        seed=args.seed, out_path=args.out,
+        ema_params=state.ema_params if args.ema else None,
+        class_id=_class_vec(args, exp), guidance=args.guidance,
+    )
+    print(f"[IMG2IMG] grid -> {args.out} (strength={args.strength}, "
+          f"steps={args.steps}){_cfg_msg(args)}")
+
+
+def cmd_inpaint(args):
+    from .sampling import box_mask, inpaint_infer_sample
+    from .utils.images import load_image
+
+    exp = _exp_from_args(args)
+    model, sched, state, _ = _load_state(args.ckpt, exp)
+    init01 = load_image(args.init, size=exp.img_size)
+    if (args.mask is None) == (args.box is None):
+        sys.exit("inpaint: pass exactly one of --mask PNG or --box "
+                 "x0,y0,x1,y1")
+    if args.mask is not None:
+        # white (1) = keep, black (0) = generate
+        m = load_image(args.mask, size=exp.img_size, grayscale=True)
+        mask = (m >= 0.5).astype("float32")
+    else:
+        mask = box_mask(exp.img_size, [int(v) for v in args.box.split(",")])
+    inpaint_infer_sample(
+        model, state.params, sched, init01 * 2.0 - 1.0, mask, n=args.n,
+        steps=args.steps, eta=args.eta, resamples=args.resamples,
+        seed=args.seed, out_path=args.out,
+        ema_params=state.ema_params if args.ema else None,
+        class_id=_class_vec(args, exp), guidance=args.guidance,
+    )
+    frac = float(1.0 - mask.mean())
+    print(f"[INPAINT] grid -> {args.out} (steps={args.steps}, "
+          f"resamples={args.resamples}, generated={frac:.0%} of pixels)"
+          f"{_cfg_msg(args)}")
+
+
 def cmd_strip(args):
     from .sampling import render_denoise_strip, render_denoise_strip_ddim
 
@@ -755,6 +802,48 @@ def main(argv=None):
                     help="shard the batch over all devices (SPMD sampling)")
     cfg_args(sp)
     sp.set_defaults(fn=cmd_sample_dpmpp)
+
+    sp = sub.add_parser(
+        "img2img",
+        help="SDEdit: noise a real image to strength*T and denoise it back "
+             "(sampling/editing.py, beyond the reference)")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--init", required=True,
+                    help="input image (center-cropped + resized to the "
+                         "model resolution)")
+    sp.add_argument("--n", type=int, default=9,
+                    help="variations to draw (grid rows get independent "
+                         "noise)")
+    sp.add_argument("--strength", type=float, default=0.6,
+                    help="(0,1]: fraction of the ladder to run — small = "
+                         "faithful edit, 1.0 = near-from-scratch")
+    sp.add_argument("--steps", type=int, default=50,
+                    help="FULL-ladder step count before truncation")
+    sp.add_argument("--eta", type=float, default=0.0)
+    sp.add_argument("--out", default="samples_img2img.png")
+    cfg_args(sp)
+    sp.set_defaults(fn=cmd_img2img)
+
+    sp = sub.add_parser(
+        "inpaint",
+        help="regenerate a masked region of a real image (RePaint-style "
+             "replace + optional resampling; mask=white kept exactly)")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--init", required=True, help="input image")
+    sp.add_argument("--mask",
+                    help="grayscale PNG: white = keep, black = generate")
+    sp.add_argument("--box", metavar="x0,y0,x1,y1",
+                    help="generate inside this pixel box instead of a mask "
+                         "file")
+    sp.add_argument("--n", type=int, default=9)
+    sp.add_argument("--steps", type=int, default=50)
+    sp.add_argument("--eta", type=float, default=0.0)
+    sp.add_argument("--resamples", type=int, default=1,
+                    help="RePaint harmonization repeats per step (1 = plain "
+                         "replace method)")
+    sp.add_argument("--out", default="samples_inpaint.png")
+    cfg_args(sp)
+    sp.set_defaults(fn=cmd_inpaint)
 
     sp = sub.add_parser("strip")
     common(sp, ckpt_required=True)

@@ -10,5 +10,13 @@ from .inference import (  # noqa: F401
     render_denoise_strip_ddim,
 )
 from .solvers import dpmpp2m_coefficients, dpmpp2m_sample_loop  # noqa: F401
+from .editing import (  # noqa: F401
+    box_mask,
+    img2img_infer_sample,
+    img2img_sample_loop,
+    inpaint_infer_sample,
+    inpaint_sample_loop,
+    truncate_ladder,
+)
 from .fast import ddim_sample_fast, ddim_sample_loop_cached  # noqa: F401
 from .distributed import sample_grid_sharded  # noqa: F401

@@ -1,4 +1,4 @@
-from .images import make_grid, save_image, save_image_grid  # noqa: F401
+from .images import load_image, make_grid, save_image, save_image_grid  # noqa: F401
 from .config import ExperimentConfig, PRESETS, get_preset  # noqa: F401
 from .debugging import (  # noqa: F401
     assert_tree_finite,

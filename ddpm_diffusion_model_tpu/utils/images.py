@@ -13,7 +13,35 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["make_grid", "save_image", "save_image_grid"]
+__all__ = ["make_grid", "save_image", "save_image_grid", "load_image"]
+
+
+def load_image(
+    path: str,
+    size: Optional[int] = None,
+    *,
+    grayscale: bool = False,
+) -> np.ndarray:
+    """Read a PNG/JPEG into an (H, W, C) float32 array in [0, 1].
+
+    ``size``: center-crop to square then resize to (size, size) — the same
+    geometry the data transforms apply, so a CLI-loaded image matches what
+    the model trained on.  ``grayscale=True`` yields C=1 (mask loading).
+    """
+    from PIL import Image
+
+    img = Image.open(path)
+    img = img.convert("L" if grayscale else "RGB")
+    if size is not None:
+        w, h = img.size
+        side = min(w, h)
+        left, top = (w - side) // 2, (h - side) // 2
+        img = img.crop((left, top, left + side, top + side))
+        img = img.resize((int(size), int(size)), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.float32) / 255.0
+    if arr.ndim == 2:
+        arr = arr[..., None]
+    return arr
 
 
 def make_grid(

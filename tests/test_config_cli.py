@@ -102,6 +102,29 @@ def test_cli_train_and_sample_roundtrip(tmp_path, capsys, monkeypatch):
     ])
     assert os.path.exists(png2)
 
+    # editing commands reuse the same checkpoint + a grid as the init image
+    png3 = str(tmp_path / "i2i.png")
+    main([
+        "img2img", "--config", cfg_path, "--ckpt", last, "--init", png,
+        "--n", "4", "--strength", "0.5", "--steps", "6", "--out", png3,
+    ])
+    out = capsys.readouterr().out
+    assert "[IMG2IMG]" in out and os.path.exists(png3)
+
+    png4 = str(tmp_path / "inp.png")
+    main([
+        "inpaint", "--config", cfg_path, "--ckpt", last, "--init", png,
+        "--box", "2,2,6,6", "--n", "4", "--steps", "6", "--resamples", "2",
+        "--out", png4,
+    ])
+    out = capsys.readouterr().out
+    assert "[INPAINT]" in out and "generated=" in out
+    assert os.path.exists(png4)
+
+    with pytest.raises(SystemExit, match="exactly one"):
+        main(["inpaint", "--config", cfg_path, "--ckpt", last,
+              "--init", png, "--out", png4])
+
 
 def test_cli_train_mesh_and_sharded_sampling(tmp_path, capsys):
     """`train --mesh dp` runs DP over the 8-device CPU mesh with the epoch

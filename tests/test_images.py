@@ -2,7 +2,31 @@
 
 import numpy as np
 
-from ddpm_diffusion_model_tpu.utils import make_grid, save_image, save_image_grid
+from ddpm_diffusion_model_tpu.utils import (
+    load_image,
+    make_grid,
+    save_image,
+    save_image_grid,
+)
+
+
+def test_load_image_roundtrip_and_resize(tmp_path):
+    img = np.linspace(0, 1, 8 * 8 * 3, dtype=np.float32).reshape(8, 8, 3)
+    p = str(tmp_path / "x.png")
+    save_image(img, p)
+    back = load_image(p)
+    assert back.shape == (8, 8, 3) and back.dtype == np.float32
+    np.testing.assert_allclose(back, img, atol=1 / 255 + 1e-6)
+    # center-crop-to-square + resize, and grayscale mask loading
+    wide = np.zeros((8, 16, 3), dtype=np.float32)
+    wide[:, 4:12] = 1.0  # the center square is all-white
+    pw = str(tmp_path / "w.png")
+    save_image(wide, pw)
+    sq = load_image(pw, size=4)
+    assert sq.shape == (4, 4, 3)
+    np.testing.assert_allclose(sq, 1.0, atol=1 / 255)
+    m = load_image(pw, size=4, grayscale=True)
+    assert m.shape == (4, 4, 1)
 
 
 def test_make_grid_square():
