@@ -170,7 +170,7 @@ def inpaint_sample_loop(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "timesteps", "eta", "guidance")
+    jax.jit, static_argnames=("model", "timesteps", "guidance")
 )
 def _img2img_jit(model, params, sched, init_x0, key, timesteps, eta,
                  y=None, guidance=1.0):
@@ -184,7 +184,7 @@ def _img2img_jit(model, params, sched, init_x0, key, timesteps, eta,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("model", "timesteps", "eta", "resamples", "guidance"),
+    static_argnames=("model", "timesteps", "resamples", "guidance"),
 )
 def _inpaint_jit(model, params, sched, known_x0, mask, key, timesteps, eta,
                  resamples, y=None, guidance=1.0):

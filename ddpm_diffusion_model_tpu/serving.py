@@ -10,6 +10,8 @@ which is the right behavior for one accelerator.
     GET /healthz                 -> {"status": "ok", ...}
     GET /sample?n=4&steps=50&eta=0.0&seed=7&format=png|npy&sampler=ddim|dpmpp
                 &class_id=K&guidance=W   (conditional checkpoints: CFG)
+    POST /edit   {"image": <b64 PNG>, "mode": "img2img"|"inpaint", ...}
+                 -> edited grid (sampling/editing.py: SDEdit / RePaint)
     GET /metrics                 -> request/sample/error counters + p50/p95
 """
 
@@ -66,7 +68,7 @@ class SamplerService:
         self._stats_lock = threading.Lock()
         self._t_start = time.time()
         self._stats = {"requests": 0, "samples": 0, "errors": 0,
-                       "client_errors": 0,
+                       "client_errors": 0, "edits": 0,
                        "coalesced_batches": 0, "sharded_batches": 0}
         self._latencies: list = []  # seconds, last _LAT_WINDOW completions
         # request coalescing (eta=0): pending queues per (steps, schedule)
@@ -219,6 +221,107 @@ class SamplerService:
                                       label, float(guidance))
         with self._stats_lock:
             self._stats["requests"] += 1
+            self._stats["samples"] += int(n)
+            self._latencies.append(time.perf_counter() - t0)
+            del self._latencies[:-self._LAT_WINDOW]
+        return out, used
+
+    # editing buckets: strength snaps to a 0.05 grid (it sets the STATIC
+    # truncated-ladder length), resamples is a static loop bound — both
+    # capped so query strings cannot mint unbounded XLA compiles.
+    STRENGTH_STEP = 0.05
+    MAX_RESAMPLES = 4
+
+    def edit(self, image01: np.ndarray, mode: str = "img2img", n: int = 4,
+             steps: int = 50, strength: float = 0.6, eta: float = 0.0,
+             seed: int = 0, box=None, mask01: Optional[np.ndarray] = None,
+             resamples: int = 1, class_id=None, guidance: float = 1.0):
+        """Edit a real image (``/edit``): SDEdit ``img2img`` or RePaint-style
+        ``inpaint`` (sampling/editing.py) with the same bucketing contract as
+        :meth:`sample`.  ``image01``: (H, W, C) float [0,1] at the service
+        resolution.  Returns ``(images01, used)``; n variations each drawing
+        independent noise.  Thread-safe; device work serializes."""
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        from .sampling.editing import (
+            _img2img_jit, _inpaint_jit, box_mask, truncate_ladder)
+        from .sampling.loops import to_unit_interval
+        from .sampling.timesteps import build_ddim_schedule
+
+        if mode not in ("img2img", "inpaint"):
+            raise ValueError(f"mode must be 'img2img'|'inpaint', got {mode!r}")
+        if not math.isfinite(guidance) or not math.isfinite(strength):
+            raise ValueError("strength/guidance must be finite")
+        guidance = min(max(float(guidance), 0.0), self.MAX_GUIDANCE)
+        guidance = round(guidance / self.GUIDANCE_STEP) * self.GUIDANCE_STEP
+        num_classes = int(getattr(self.model.config, "num_classes", 0))
+        if class_id is not None or guidance != 1.0:
+            if not num_classes:
+                raise ValueError(
+                    "class_id/guidance need a class-conditional checkpoint "
+                    "(model.num_classes > 0)")
+            if class_id is not None and not 0 <= int(class_id) < num_classes:
+                raise ValueError(
+                    f"class_id {class_id} out of range [0, {num_classes})")
+        S = self.img_size
+        img = np.asarray(image01, np.float32)
+        if img.shape != (S, S, self.model.config.in_channels):
+            raise ValueError(
+                f"image must be ({S}, {S}, {self.model.config.in_channels}) "
+                f"in [0,1], got {img.shape}")
+        n = max(1, min(int(n), self.MAX_N))
+        n_bucket = 1 << (n - 1).bit_length()
+        steps = min(self.STEP_CHOICES, key=lambda s: abs(s - int(steps)))
+        strength = min(max(float(strength), self.STRENGTH_STEP), 1.0)
+        strength = round(strength / self.STRENGTH_STEP) * self.STRENGTH_STEP
+        resamples = max(1, min(int(resamples), self.MAX_RESAMPLES))
+        eta = min(max(float(eta), 0.0), 1.0)
+        used = {"mode": mode, "n": int(n), "steps": int(steps),
+                "eta": float(eta), "seed": int(seed)}
+        if num_classes:
+            used["class_id"] = None if class_id is None else int(class_id)
+            used["guidance"] = float(guidance)
+        label = (None if not num_classes or class_id is None
+                 else jnp.full((n_bucket,), int(class_id), jnp.int32))
+
+        init = jnp.broadcast_to(
+            jnp.asarray(img * 2.0 - 1.0), (n_bucket, *img.shape))
+        ts = build_ddim_schedule(
+            "t_linear", steps, self.sched.T,
+            alphas_cumprod=np.asarray(self.sched.alphas_cumprod))
+        key = jax.random.key(int(seed))
+        t0 = time.perf_counter()
+        if mode == "img2img":
+            used["strength"] = float(strength)
+            ts = tuple(int(t) for t in truncate_ladder(ts, strength))
+            with self._lock:
+                x = _img2img_jit(self.model, self.params, self.sched, init,
+                                 key, ts, eta, y=label, guidance=guidance)
+        else:
+            used["resamples"] = int(resamples)
+            if (box is None) == (mask01 is None):
+                raise ValueError(
+                    "inpaint needs exactly one of 'box' or 'mask'")
+            if box is not None:
+                mask = box_mask(S, [int(v) for v in box])
+            else:
+                m = np.asarray(mask01, np.float32)
+                if m.shape[:2] != (S, S):
+                    raise ValueError(
+                        f"mask must be ({S}, {S}[, 1]), got {m.shape}")
+                mask = (m.reshape(S, S, -1)[..., :1] >= 0.5).astype(np.float32)
+            with self._lock:
+                x = _inpaint_jit(self.model, self.params, self.sched, init,
+                                 jnp.asarray(mask), key,
+                                 tuple(int(t) for t in ts), eta,
+                                 int(resamples), y=label, guidance=guidance)
+        out = np.asarray(to_unit_interval(x[:n]))
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["edits"] += 1
             self._stats["samples"] += int(n)
             self._latencies.append(time.perf_counter() - t0)
             del self._latencies[:-self._LAT_WINDOW]
@@ -405,6 +508,7 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                     # 0 = unconditional checkpoint (class_id/guidance rejected)
                     "num_classes": int(getattr(service.model.config,
                                                "num_classes", 0)),
+                    "edit_modes": ["img2img", "inpaint"],
                 })
                 return
             if url.path == "/metrics":
@@ -446,6 +550,9 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                 service.record_error()
                 self._json(500, {"error": f"{type(e).__name__}: {e}"})
                 return
+            self._send_images(x, used, fmt)
+
+        def _send_images(self, x, used, fmt):
             if fmt == "npy":
                 buf = io.BytesIO()
                 np.save(buf, x)
@@ -471,6 +578,66 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
             self.send_header("X-Used-Steps", str(used["steps"]))
             self.end_headers()
             self.wfile.write(body)
+
+        MAX_EDIT_BODY = 32 << 20  # 32 MiB of JSON+base64 is plenty
+
+        def do_POST(self):
+            import base64
+
+            url = urlparse(self.path)
+            if url.path != "/edit":
+                self._json(404, {"error": "unknown path"})
+                return
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if not 0 < length <= self.MAX_EDIT_BODY:
+                    raise ValueError(f"body length {length} out of range")
+                req = json.loads(self.rfile.read(length))
+                if "image" not in req:
+                    raise ValueError("missing 'image' (base64 PNG/JPEG)")
+
+                from .utils.images import load_image
+
+                img01 = load_image(
+                    io.BytesIO(base64.b64decode(req["image"])),
+                    size=service.img_size)
+                mask01 = None
+                if req.get("mask") is not None:
+                    mask01 = load_image(
+                        io.BytesIO(base64.b64decode(req["mask"])),
+                        size=service.img_size, grayscale=True)
+                kw = dict(
+                    mode=str(req.get("mode", "img2img")),
+                    n=int(req.get("n", 4)),
+                    steps=int(req.get("steps", 50)),
+                    strength=float(req.get("strength", 0.6)),
+                    eta=float(req.get("eta", 0.0)),
+                    seed=int(req.get("seed", 0)),
+                    box=req.get("box"),
+                    mask01=mask01,
+                    resamples=int(req.get("resamples", 1)),
+                    class_id=(int(req["class_id"])
+                              if req.get("class_id") is not None else None),
+                    guidance=float(req.get("guidance", 1.0)),
+                )
+                fmt = req.get("format", "png")
+            except Exception as e:  # noqa: BLE001
+                # body decode errors (bad base64 / not an image / bad JSON /
+                # bad field types) are client errors, full stop
+                service.record_client_error()
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                x, used = service.edit(img01, **kw)
+            except ValueError as e:
+                service.record_client_error()
+                self._json(400, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 — surface as 500
+                service.record_error()
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._send_images(x, used, fmt)
 
     return ThreadingHTTPServer((host, port), Handler)
 

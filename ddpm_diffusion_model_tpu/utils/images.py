@@ -22,7 +22,8 @@ def load_image(
     *,
     grayscale: bool = False,
 ) -> np.ndarray:
-    """Read a PNG/JPEG into an (H, W, C) float32 array in [0, 1].
+    """Read a PNG/JPEG (path or file-like object) into an (H, W, C)
+    float32 array in [0, 1].
 
     ``size``: center-crop to square then resize to (size, size) — the same
     geometry the data transforms apply, so a CLI-loaded image matches what

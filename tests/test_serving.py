@@ -446,3 +446,116 @@ def test_cfg_coalescing_mixes_classes_per_sample(cond_server):
     # at least one batch actually coalesced across the two classes OR the
     # window missed (timing): accept either but require both answered
     assert svc.metrics()["coalesced_batches"] >= before + 1
+
+
+# ---------- POST /edit (img2img / inpaint over HTTP) ----------
+
+def _png_b64(arr01):
+    """Encode an (H,W,C) or (H,W) float [0,1] array as base64 PNG."""
+    import base64
+
+    from PIL import Image
+
+    a = np.clip(np.asarray(arr01) * 255.0 + 0.5, 0, 255).astype(np.uint8)
+    if a.ndim == 3 and a.shape[-1] == 1:
+        a = a[..., 0]
+    buf = io.BytesIO()
+    Image.fromarray(a).save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(),
+        headers={"Content-Type": "application/json"}, method="POST")
+    with urllib.request.urlopen(req, timeout=120) as r:
+        return r.status, r.headers.get("Content-Type"), r.read()
+
+
+@pytest.fixture(scope="module")
+def src_img01():
+    rng = np.random.default_rng(5)
+    return rng.uniform(0.1, 0.9, (RES, RES, 3)).astype(np.float32)
+
+
+def test_edit_img2img_npy_and_determinism(server, src_img01):
+    payload = {"image": _png_b64(src_img01), "mode": "img2img", "n": 2,
+               "steps": 5, "strength": 0.5, "seed": 4, "format": "npy"}
+    code, ctype, b1 = _post(server + "/edit", payload)
+    assert code == 200 and ctype == "application/octet-stream"
+    x1 = np.load(io.BytesIO(b1))
+    assert x1.shape == (2, RES, RES, 3)
+    assert 0.0 <= x1.min() and x1.max() <= 1.0
+    _c, _t, b2 = _post(server + "/edit", payload)
+    np.testing.assert_array_equal(x1, np.load(io.BytesIO(b2)))
+    # variations differ (independent per-row noise)
+    assert np.abs(x1[0] - x1[1]).max() > 1e-6
+
+
+def test_edit_img2img_png_grid(server, src_img01):
+    code, ctype, body = _post(server + "/edit", {
+        "image": _png_b64(src_img01), "n": 4, "steps": 5, "strength": 0.6})
+    assert code == 200 and ctype == "image/png"
+    from PIL import Image
+
+    assert Image.open(io.BytesIO(body)).size[0] > RES  # a grid
+
+
+def test_edit_inpaint_box_keeps_known_pixels(server, src_img01):
+    code, _t, body = _post(server + "/edit", {
+        "image": _png_b64(src_img01), "mode": "inpaint",
+        "box": [2, 2, 6, 6], "n": 1, "steps": 5, "format": "npy"})
+    assert code == 200
+    x = np.load(io.BytesIO(body))[0]
+    # the decoded input the server saw (png-quantized)
+    srv_in = np.round(src_img01 * 255.0 + 0.5 - 0.5).astype(np.uint8) / 255.0
+    keep = np.ones((RES, RES), bool)
+    keep[2:6, 2:6] = False
+    np.testing.assert_allclose(x[keep], srv_in.astype(np.float32)[keep],
+                               atol=1e-6)
+    assert np.abs(x[~keep] - srv_in[~keep]).max() > 1e-3  # really generated
+
+
+def test_edit_inpaint_mask_file(server, src_img01):
+    mask = np.ones((RES, RES), np.float32)
+    mask[:4] = 0.0  # regenerate the top half
+    code, _t, body = _post(server + "/edit", {
+        "image": _png_b64(src_img01), "mode": "inpaint",
+        "mask": _png_b64(mask), "n": 1, "steps": 5, "resamples": 2,
+        "format": "npy"})
+    assert code == 200
+    x = np.load(io.BytesIO(body))[0]
+    srv_in = np.round(src_img01 * 255.0 + 0.5 - 0.5).astype(np.uint8) / 255.0
+    np.testing.assert_allclose(x[4:], srv_in.astype(np.float32)[4:], atol=1e-6)
+
+
+def test_edit_validation_errors(server, src_img01):
+    import urllib.error
+
+    def expect_400(payload):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(server + "/edit", payload)
+        assert ei.value.code == 400
+
+    expect_400({"mode": "img2img"})                       # no image
+    expect_400({"image": "not-base64!!", "mode": "img2img"})
+    expect_400({"image": _png_b64(src_img01), "mode": "sharpen"})
+    expect_400({"image": _png_b64(src_img01), "mode": "inpaint"})  # no mask
+    expect_400({"image": _png_b64(src_img01), "mode": "inpaint",
+                "box": [0, 0, 4, 4], "mask": _png_b64(src_img01[..., :1]),
+                "steps": 5})                              # both given
+    expect_400({"image": _png_b64(src_img01), "guidance": 2.0})
+    # unknown POST path is a 404
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(server + "/other", {"image": _png_b64(src_img01)})
+    assert ei.value.code == 404
+
+
+def test_edit_counts_in_metrics_and_healthz_advertises(server, src_img01):
+    _c, _t, body = _get(server + "/healthz")
+    assert json.loads(body)["edit_modes"] == ["img2img", "inpaint"]
+    before = json.loads(_get(server + "/metrics")[2])["edits"]
+    _post(server + "/edit", {"image": _png_b64(src_img01), "n": 1,
+                             "steps": 5, "strength": 0.5})
+    after = json.loads(_get(server + "/metrics")[2])["edits"]
+    assert after == before + 1
