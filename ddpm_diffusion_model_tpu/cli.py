@@ -521,12 +521,13 @@ def cmd_inpaint(args):
     from .sampling import box_mask, inpaint_infer_sample
     from .utils.images import load_image
 
-    exp = _exp_from_args(args)
-    model, sched, state, _ = _load_state(args.ckpt, exp)
-    init01 = load_image(args.init, size=exp.img_size)
+    # argument mistakes must fail BEFORE the expensive checkpoint load
     if (args.mask is None) == (args.box is None):
         sys.exit("inpaint: pass exactly one of --mask PNG or --box "
                  "x0,y0,x1,y1")
+    exp = _exp_from_args(args)
+    model, sched, state, _ = _load_state(args.ckpt, exp)
+    init01 = load_image(args.init, size=exp.img_size)
     if args.mask is not None:
         # white (1) = keep, black (0) = generate
         m = load_image(args.mask, size=exp.img_size, grayscale=True)

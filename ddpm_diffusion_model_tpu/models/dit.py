@@ -30,7 +30,7 @@ map with eps-hat = 0 — the published recipe for stable large-depth training.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
+from typing import Any, Tuple
 
 import flax.linen as nn
 import jax
@@ -195,7 +195,16 @@ class DiTDenoiser(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
-    remat: bool = False
+    # False | True | "dots":
+    #   True  = full block remat (recompute EVERYTHING in the backward —
+    #           including the 6 dense matmuls, ~+33% block FLOPs)
+    #   "dots" = jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+    #           dense (qkv/proj/fc1/fc2) outputs are SAVED; only the
+    #           batched attention einsums + softmax + elementwise chain
+    #           recompute — flash-attention memory behavior (the fp32
+    #           softmax probs, the no-remat OOM cause at batch 128, are
+    #           dropped) for ~10% recompute instead of ~100%
+    remat: Any = False
     scan_blocks: bool = True
 
     @nn.compact
@@ -248,7 +257,15 @@ class DiTDenoiser(nn.Module):
             deterministic=deterministic, attn_impl=self.attn_impl,
             num_experts=cfg.num_experts,
             capacity_factor=cfg.capacity_factor, **kw)
-        Block = nn.remat(DiTBlock) if self.remat else DiTBlock
+        if self.remat == "dots":
+            Block = nn.remat(
+                DiTBlock,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif self.remat:
+            Block = nn.remat(DiTBlock)
+        else:
+            Block = DiTBlock
         if self.scan_blocks:
             ScanBlocks = nn.scan(
                 Block,

@@ -33,7 +33,7 @@ import numpy as np
 
 from ..ops.diffusion import EpsFn, ddim_step, q_sample
 from ..ops.schedules import DiffusionSchedule, extract
-from ..utils.images import save_image, make_grid
+from ..utils.images import grid_nrow, make_grid, save_image
 from .inference import _label_vector, cfg_eps_fn
 from .timesteps import build_ddim_schedule
 
@@ -52,13 +52,16 @@ def truncate_ladder(timesteps: np.ndarray, strength: float) -> np.ndarray:
 
     ``strength`` in (0, 1]: 1.0 keeps the whole ladder (generation from
     nearly pure noise), 0.1 keeps only the last 10% of steps (a light
-    touch-up).  At least one step is always kept.
+    touch-up).  At least TWO ladder entries are always kept: the final
+    entry is the t=0 terminator that the DDIM grid loop does not step
+    (``loops.py`` n_iter = len-1), so a one-entry tail would run ZERO
+    model calls and return pure q_sample noise.
     """
     s = float(strength)
     if not 0.0 < s <= 1.0:
         raise ValueError(f"strength must be in (0, 1], got {strength}")
     ts = np.asarray(timesteps, dtype=np.int32)
-    n_keep = max(1, int(round(s * len(ts))))
+    n_keep = min(len(ts), max(2, int(round(s * len(ts)))))
     return ts[len(ts) - n_keep:]
 
 
@@ -217,10 +220,7 @@ def _as_batch(images: np.ndarray, n: Optional[int]) -> jnp.ndarray:
 def _save_grid(x01: np.ndarray, out_path: Optional[str]):
     if out_path is None:
         return None
-    n = x01.shape[0]
-    r = int(math.sqrt(n))
-    nrow = r if r * r == n else math.ceil(math.sqrt(n))
-    save_image(make_grid(x01, nrow=nrow), out_path)
+    save_image(make_grid(x01, nrow=grid_nrow(x01.shape[0])), out_path)
 
 
 def img2img_infer_sample(

@@ -253,10 +253,10 @@ def ddim_sample(
 
 
 def _save_outputs(x01: np.ndarray, out_path: str, save_individual: bool, out_dir: str):
+    from ..utils.images import grid_nrow
+
     n = x01.shape[0]
-    r = int(math.sqrt(n))
-    nrow = r if r * r == n else math.ceil(math.sqrt(n))
-    grid = make_grid(x01, nrow=nrow)
+    grid = make_grid(x01, nrow=grid_nrow(n))
     save_image(grid, out_path)
     if save_individual:
         os.makedirs(out_dir, exist_ok=True)

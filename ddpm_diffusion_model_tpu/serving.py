@@ -306,7 +306,13 @@ class SamplerService:
                 raise ValueError(
                     "inpaint needs exactly one of 'box' or 'mask'")
             if box is not None:
-                mask = box_mask(S, [int(v) for v in box])
+                try:
+                    mask = box_mask(S, [int(v) for v in box])
+                except (TypeError, KeyError) as e:
+                    # non-iterable / wrong-typed box is a client error, not
+                    # a 500 (box_mask's own ValueErrors already map to 400)
+                    raise ValueError(
+                        f"box must be 4 ints (x0,y0,x1,y1): {e}") from e
             else:
                 m = np.asarray(mask01, np.float32)
                 if m.shape[:2] != (S, S):

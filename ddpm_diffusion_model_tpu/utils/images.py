@@ -13,7 +13,15 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["make_grid", "save_image", "save_image_grid", "load_image"]
+__all__ = ["make_grid", "save_image", "save_image_grid", "load_image",
+           "grid_nrow"]
+
+
+def grid_nrow(n: int) -> int:
+    """Images per row for an n-image square-ish grid — the reference's
+    int(sqrt(n))-for-perfect-squares / ceil otherwise rule
+    (``ddpim_inference.py:90``), which reduces to ceil(sqrt(n))."""
+    return int(np.ceil(np.sqrt(max(1, int(n)))))
 
 
 def load_image(

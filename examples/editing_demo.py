@@ -77,8 +77,10 @@ def main(argv=None):
     result.update(mses)
     result["mse_monotone"] = bool(
         all(a < b for a, b in zip(list(mses.values()), list(mses.values())[1:])))
-    strip = np.concatenate([((init + 1) / 2)[None]]
-                           + [r for r in rows], axis=0)
+    # row 0 = the init image (repeated to fill the row, keeping the
+    # rows-are-strengths alignment of the grid), rows 1.. = one strength each
+    init_row = np.repeat(((init + 1) / 2)[None], args.n, axis=0)
+    strip = np.concatenate([init_row] + [r for r in rows], axis=0)
     save_image(make_grid(strip, nrow=args.n), args.out_img2img)
     result["img2img_grid"] = args.out_img2img
 

@@ -318,3 +318,34 @@ def test_pallas_flash_attention_path():
         y_pal = model_p.apply(params, x, t)
     np.testing.assert_allclose(np.asarray(y_pal), np.asarray(y_ref),
                                atol=5e-5, rtol=5e-5)
+
+
+@pytest.mark.parametrize("mode", [True, "dots"])
+def test_remat_modes_match_no_remat(mode):
+    """Full-block remat and the dots-saveable policy are numerically
+    IDENTICAL to no remat (same program, different save/recompute split) —
+    forward and gradients."""
+    model0, params = _init()
+    model_r = DiTDenoiser(TINY, dtype=jnp.float32, remat=mode)
+    x = jax.random.normal(jax.random.key(2), (2, 16, 16, 3))
+    t = jnp.array([5.0, 17.0])
+
+    # nudge params off the adaLN-Zero init so gradients are nontrivial
+    params = jax.tree.map(
+        lambda p: p + 0.01 * jnp.sign(jnp.sin(jnp.arange(p.size,
+                                     dtype=jnp.float32)).reshape(p.shape)),
+        params)
+
+    def loss(m):
+        def f(p):
+            return jnp.mean(m.apply(p, x, t).astype(jnp.float32) ** 2)
+        return f
+
+    l0, g0 = jax.value_and_grad(loss(model0))(params)
+    lr, gr = jax.value_and_grad(loss(model_r))(params)
+    np.testing.assert_allclose(float(lr), float(l0), rtol=1e-6)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flatr = jax.tree_util.tree_leaves(gr)
+    for a, b in zip(flat0, flatr):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-5, atol=1e-7)

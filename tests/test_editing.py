@@ -91,7 +91,23 @@ def test_truncate_ladder_lengths(sched):
     assert len(half) == round(0.5 * len(ts))
     # the tail of the ladder: ends at the same lowest t
     np.testing.assert_array_equal(half, np.asarray(ts)[len(ts) - len(half):])
-    assert len(truncate_ladder(ts, 0.001)) == 1  # at least one step
+    # at least TWO entries: the final t=0 terminator is never stepped by the
+    # grid loop, so a one-entry tail would mean zero model calls
+    assert len(truncate_ladder(ts, 0.001)) == 2
+
+
+def test_img2img_minimal_strength_still_denoises(sched):
+    """Regression: at the minimum truncation the model IS called — a
+    sentinel predictor must affect the output."""
+    init = jnp.zeros((1, RES, RES, 3))
+    ts = truncate_ladder(_ladder(sched, 10), 0.01)
+    run = lambda fn: np.asarray(img2img_sample_loop(
+        sched, fn, init, jax.random.key(0), timesteps=ts, eta=0.0))
+    out_sentinel = run(lambda x, t: jnp.full_like(x, 100.0))
+    out_zero = run(lambda x, t: jnp.zeros_like(x))
+    # same key -> identical q_sample noise; any difference proves the
+    # predictor ran (the pre-fix one-entry tail made these bit-equal)
+    assert np.abs(out_sentinel - out_zero).max() > 1e-3
 
 
 @pytest.mark.parametrize("bad", [0.0, -0.3, 1.5])

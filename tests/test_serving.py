@@ -545,6 +545,12 @@ def test_edit_validation_errors(server, src_img01):
                 "box": [0, 0, 4, 4], "mask": _png_b64(src_img01[..., :1]),
                 "steps": 5})                              # both given
     expect_400({"image": _png_b64(src_img01), "guidance": 2.0})
+    # malformed box shapes are client errors, not 500s
+    expect_400({"image": _png_b64(src_img01), "mode": "inpaint", "box": 5})
+    expect_400({"image": _png_b64(src_img01), "mode": "inpaint",
+                "box": [1, 2]})
+    expect_400({"image": _png_b64(src_img01), "mode": "inpaint",
+                "box": {"x": 1}})
     # unknown POST path is a 404
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(server + "/other", {"image": _png_b64(src_img01)})
