@@ -184,11 +184,11 @@ def main():
                     help="attention dispatch override (pallas avoids "
                          "materializing fp32 probs for the backward — the "
                          "memory lever for transformer configs)")
-    ap.add_argument("--remat", choices=["on", "off", "masks", "dots"],
+    ap.add_argument("--remat", choices=["on", "off", "masks", "dots", "attn"],
                     help="override remat ('masks' = targeted policy that "
                          "regenerates only dropout bits in the backward; "
-                         "'dots' [DiT] = save dense outputs, recompute only "
-                         "attention/elementwise)")
+                         "'dots'/'attn' [DiT] = save dense outputs / "
+                         "checkpoint only the SDPA call)")
     ap.add_argument("--fused-gn", action="store_true",
                     help="tiled Pallas GN+SiLU+time-bias epilogue")
     ap.add_argument("--dropout-impl", choices=["packed", "flax"],
@@ -250,7 +250,7 @@ def main():
         batch = args.batch
     if args.accum:
         accum = args.accum
-    if args.remat in ("masks", "dots"):
+    if args.remat in ("masks", "dots", "attn"):
         use_remat = args.remat
     elif args.remat is None:
         # both DiT configs OOM at batch 128 without remat (dense: 16.8G —

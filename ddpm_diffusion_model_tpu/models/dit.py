@@ -124,6 +124,7 @@ class DiTBlock(nn.Module):
     param_dtype: jnp.dtype
     num_experts: int = 0
     capacity_factor: float = 1.25
+    attn_remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, c: jnp.ndarray):
@@ -154,7 +155,14 @@ class DiTBlock(nn.Module):
         from ..parallel.tp import shard_heads
 
         q, k, v = shard_heads(q), shard_heads(k), shard_heads(v)
-        att = shard_heads(multi_head_attention(q, k, v, impl=self.attn_impl))
+        mha = lambda q_, k_, v_: multi_head_attention(  # noqa: E731
+            q_, k_, v_, impl=self.attn_impl)
+        if self.attn_remat:
+            # recompute ONLY the attention in the backward: q/k/v are saved
+            # (cheap, B*h*N*d), the fp32 softmax probs — the no-remat OOM
+            # cause — are not; the MLP/dense chain keeps XLA's default AD
+            mha = jax.checkpoint(mha)
+        att = shard_heads(mha(q, k, v))
         att = att.transpose(0, 2, 1, 3).reshape(B, N, H)
         att = nn.Dense(H, name="proj", **kw)(att)
         if self.dropout > 0.0:
@@ -195,15 +203,20 @@ class DiTDenoiser(nn.Module):
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
     attn_impl: str = "auto"
-    # False | True | "dots":
+    # False | True | "dots" | "attn":
     #   True  = full block remat (recompute EVERYTHING in the backward —
     #           including the 6 dense matmuls, ~+33% block FLOPs)
     #   "dots" = jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
     #           dense (qkv/proj/fc1/fc2) outputs are SAVED; only the
     #           batched attention einsums + softmax + elementwise chain
-    #           recompute — flash-attention memory behavior (the fp32
-    #           softmax probs, the no-remat OOM cause at batch 128, are
-    #           dropped) for ~10% recompute instead of ~100%
+    #           recompute.  Measured SLOWER than full remat on v5e (the
+    #           saved outputs are extra HBM materialization traffic —
+    #           docs/BENCH.md "DiT remat A/B") — kept as the memory point
+    #           between "attn" and True.
+    #   "attn" = jax.checkpoint around ONLY the SDPA call: everything else
+    #           keeps XLA's default AD; the fp32 softmax probs (the
+    #           no-remat OOM cause at batch 128) are recomputed from the
+    #           saved q/k/v — minimal recompute, no-remat fusion elsewhere
     remat: Any = False
     scan_blocks: bool = True
 
@@ -262,6 +275,9 @@ class DiTDenoiser(nn.Module):
                 DiTBlock,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
+        elif self.remat == "attn":
+            Block = DiTBlock
+            block_kw["attn_remat"] = True
         elif self.remat:
             Block = nn.remat(DiTBlock)
         else:

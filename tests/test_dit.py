@@ -320,7 +320,7 @@ def test_pallas_flash_attention_path():
                                atol=5e-5, rtol=5e-5)
 
 
-@pytest.mark.parametrize("mode", [True, "dots"])
+@pytest.mark.parametrize("mode", [True, "dots", "attn"])
 def test_remat_modes_match_no_remat(mode):
     """Full-block remat and the dots-saveable policy are numerically
     IDENTICAL to no remat (same program, different save/recompute split) —
