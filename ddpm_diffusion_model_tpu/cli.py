@@ -499,6 +499,56 @@ def cmd_sample_dpmpp(args):
           f"{_cfg_msg(args)}")
 
 
+def cmd_distill(args):
+    """Progressive distillation: halve a checkpoint's DDIM ladder down to
+    ``--to-steps`` (training/distill.py).  The output checkpoint samples
+    with ``sample-ddim --schedule linear --steps <to-steps>`` (the distilled
+    trajectory is exactly that ladder); a ``--guidance`` teacher bakes CFG
+    into the student, so the student samples guided at single-forward cost
+    (guidance=1)."""
+    from .training import TrainConfig, init_train_state, make_optimizer
+    from .training import progressive_distill, save_checkpoint
+
+    exp = _exp_from_args(args)
+    model, sched, state, _ = _load_state(args.ckpt, exp)
+    teacher = state.ema_params if args.ema else state.params
+
+    nc = int(getattr(exp.model, "num_classes", 0))
+    if args.guidance is not None and not nc:
+        sys.exit("error: --guidance needs a class-conditional checkpoint "
+                 "(the student distills the guided conditional sampler)")
+    if sched.prediction_type == "epsilon":
+        print("[DISTILL] note: epsilon-prediction teacher — distillation "
+              "works but v-prediction teachers distill better at few steps "
+              "(Salimans & Ho 2022 §4; train with prediction_type: 'v')")
+
+    loader, _ = _make_loader(args, exp)
+    cfg = TrainConfig(
+        base_lr=args.lr, warmup_steps=0, ema_decay=args.ema_decay,
+        grad_clip=exp.train.grad_clip,
+        flat_optimizer=exp.train.flat_optimizer,
+    )
+    params, info = progressive_distill(
+        model, sched, teacher, make_batches=lambda: loader,
+        start_steps=args.start_steps, end_steps=args.to_steps,
+        phase_updates=args.phase_updates, cfg=cfg,
+        guidance=args.guidance, weighting=args.weighting, seed=exp.seed)
+
+    out_state, _ = init_train_state(params, cfg, seed=exp.seed,
+                                    tx=make_optimizer(cfg))
+    path = save_checkpoint(
+        args.out, out_state,
+        extra={"distilled_steps": info["steps"],
+               "distill_guidance": args.guidance,
+               "distill_phases": info["phases"]},
+        configs={"experiment": exp.to_dict()})
+    print(json.dumps({"out": path, "steps": info["steps"],
+                      "phases": info["phases"]}))
+    print(f"[DISTILL] student -> {path}; sample with: sample-ddim "
+          f"--ckpt {args.out} --schedule linear --steps {info['steps']}"
+          + (f" --class-id all" if nc else ""))
+
+
 def cmd_img2img(args):
     from .sampling import img2img_infer_sample
     from .utils.images import load_image
@@ -776,7 +826,8 @@ def main(argv=None):
     sp.add_argument("--steps", type=int, default=50)
     sp.add_argument("--eta", type=float, default=0.0)
     sp.add_argument("--schedule", default="t_linear",
-                    choices=["t_linear", "alpha_bar_cosine", "cosine", "karras"])
+                    choices=["t_linear", "linear", "alpha_bar_cosine", "cosine",
+                             "karras"])
     sp.add_argument("--out", default="samples_ddim.png")
     sp.add_argument("--individual", action="store_true")
     sp.add_argument("--sharded", action="store_true",
@@ -796,13 +847,49 @@ def main(argv=None):
     sp.add_argument("--n", type=int, default=36)
     sp.add_argument("--steps", type=int, default=20)
     sp.add_argument("--schedule", default="t_linear",
-                    choices=["t_linear", "alpha_bar_cosine", "cosine", "karras"])
+                    choices=["t_linear", "linear", "alpha_bar_cosine", "cosine",
+                             "karras"])
     sp.add_argument("--out", default="samples_dpmpp.png")
     sp.add_argument("--individual", action="store_true")
     sp.add_argument("--sharded", action="store_true",
                     help="shard the batch over all devices (SPMD sampling)")
     cfg_args(sp)
     sp.set_defaults(fn=cmd_sample_dpmpp)
+
+    sp = sub.add_parser(
+        "distill",
+        help="progressive distillation (Salimans & Ho 2022): halve a "
+             "checkpoint's DDIM ladder down to --to-steps; optionally bake "
+             "CFG in (training/distill.py, beyond the reference)")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--out", required=True,
+                    help="output checkpoint directory for the student")
+    sp.add_argument("--data", default="blobs",
+                    choices=["synthetic", "blobs", "zip", "hf", "celeba"])
+    sp.add_argument("--zip-path")
+    sp.add_argument("--no-crop", action="store_true")
+    sp.add_argument("--data-dir", default="data")
+    sp.add_argument("--synthetic-size", type=int, default=512)
+    sp.add_argument("--preload", action="store_true")
+    sp.add_argument("--device-cache", action="store_true")
+    sp.add_argument("--start-steps", type=int, default=64,
+                    help="the teacher's DDIM step count (the first student "
+                         "learns start-steps/2)")
+    sp.add_argument("--to-steps", type=int, default=4,
+                    help="stop when the student reaches this many steps")
+    sp.add_argument("--phase-updates", type=int, default=400,
+                    help="optimizer updates per halving phase")
+    sp.add_argument("--lr", type=float, default=1e-4,
+                    help="distillation LR (no warmup; lower than training)")
+    sp.add_argument("--ema-decay", type=float, default=0.999,
+                    help="student EMA (the EMA student seeds the next phase)")
+    sp.add_argument("--guidance", type=float, default=None, metavar="W",
+                    help="bake CFG at this scale into the student "
+                         "(conditional checkpoints; student then samples "
+                         "guided at guidance=1 cost)")
+    sp.add_argument("--weighting", default="truncated_snr",
+                    choices=["truncated_snr", "snr", "uniform"])
+    sp.set_defaults(fn=cmd_distill)
 
     sp = sub.add_parser(
         "img2img",

@@ -22,5 +22,13 @@ from .checkpoint import (  # noqa: F401
     wait_for_checkpoints,
 )
 from .preemption import PreemptionFlag, catch_preemption  # noqa: F401
+from .distill import (  # noqa: F401
+    distill_ladder,
+    make_distill_step,
+    onestep_target,
+    progressive_distill,
+    student_timesteps,
+    student_x0,
+)
 from .loop import evaluate_loss, train_ddpm, train_one_epoch  # noqa: F401
 from .diagnostics import StepTimer, device_mem_mb, fmt_hms, profiler_trace  # noqa: F401
