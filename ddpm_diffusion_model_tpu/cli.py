@@ -43,10 +43,14 @@ def _load_state(ckpt, exp):
     from .training import init_train_state, load_checkpoint, make_optimizer
 
     model, sched = _build(exp)
+    cond_ch = int(getattr(exp.model, "cond_channels", 0) or 0)
+    init_kw = ({"x_cond": jnp.ones((1, exp.img_size, exp.img_size, cond_ch))}
+               if cond_ch else {})
     params = model.init(
         jax.random.key(exp.seed),
         jnp.ones((1, exp.img_size, exp.img_size, exp.model.in_channels)),
         jnp.zeros((1,)),
+        **init_kw,
     )
     tx = make_optimizer(exp.train)
     template, _ = init_train_state(params, exp.train, tx=tx)
@@ -277,7 +281,31 @@ def cmd_train(args):
     loader, eval_loader = _make_loader(
         args, exp, with_eval=bool(getattr(args, "eval_every", 0)), mesh=mesh)
 
+    sr_f = int(getattr(exp.train, "superres_factor", 0) or 0)
+    sr_anchor = {}
+
     def sample_fn(model_, params_, sched_, *, n, img_size, save_path, seed):
+        if sr_f:
+            # SR upsampler training: the per-epoch grid upsamples a FIXED
+            # low-res anchor batch (degraded from the first train batch), so
+            # consecutive grids are directly comparable like the fixed-seed
+            # unconditional grids (main_train_loop.py:198-200 semantics)
+            from .ops.superres import degrade
+            from .sampling import upsample_infer_sample
+
+            if "low" not in sr_anchor:
+                import jax
+                import jax.numpy as jnp
+
+                first = next(iter(loader))
+                x = first[0] if isinstance(first, (tuple, list)) else first
+                x = np.asarray(jax.device_get(x), np.float32)
+                x = np.resize(x, (n, *x.shape[1:]))  # tile if batch < n
+                sr_anchor["low"] = np.asarray(
+                    degrade(jnp.asarray(x), sr_f))
+            return upsample_infer_sample(
+                model_, params_, sched_, sr_anchor["low"], n=n,
+                steps=min(50, sched_.T - 1), seed=seed, out_path=save_path)
         # returns per-sample [0,1] images so the loop can score rFID.
         # Conditional runs sample a CLASS-CYCLED grid (row i gets class
         # i % K, plain conditional w=1): per-epoch grids then show every
@@ -595,6 +623,56 @@ def cmd_inpaint(args):
     print(f"[INPAINT] grid -> {args.out} (steps={args.steps}, "
           f"resamples={args.resamples}, generated={frac:.0%} of pixels)"
           f"{_cfg_msg(args)}")
+
+
+def cmd_upsample(args):
+    from .sampling import upsample_infer_sample
+    from .utils.images import load_image
+
+    exp = _exp_from_args(args)
+    if not int(getattr(exp.model, "cond_channels", 0) or 0):
+        sys.exit("error: upsample needs an image-conditional (SR) checkpoint"
+                 " — train one with TrainConfig.superres_factor"
+                 " (e.g. --preset sr64to256)")
+    model, sched, state, _ = _load_state(args.ckpt, exp)
+    low01 = load_image(args.init, size=args.low_size)
+    upsample_infer_sample(
+        model, state.params, sched, low01 * 2.0 - 1.0, n=args.n,
+        steps=args.steps, eta=args.eta, seed=args.seed, out_path=args.out,
+        ema_params=state.ema_params if args.ema else None,
+        class_id=_class_vec(args, exp), guidance=args.guidance,
+    )
+    print(f"[UPSAMPLE] grid -> {args.out} ({low01.shape[0]}px -> "
+          f"{exp.model.img_resolution}px, steps={args.steps})"
+          f"{_cfg_msg(args)}")
+
+
+def cmd_cascade(args):
+    from .sampling import cascade_infer_sample
+
+    base_exp = _exp_from_args(
+        argparse.Namespace(config=args.base_config, preset=args.preset,
+                           ckpt=args.base_ckpt))
+    sr_exp = _exp_from_args(args)
+    if not int(getattr(sr_exp.model, "cond_channels", 0) or 0):
+        sys.exit("error: --ckpt must be an image-conditional (SR) checkpoint"
+                 " (cond_channels > 0); the base model goes in --base-ckpt")
+    base_model, base_sched, base_state, _ = _load_state(args.base_ckpt, base_exp)
+    sr_model, sr_sched, sr_state, _ = _load_state(args.ckpt, sr_exp)
+    low01, hi01 = cascade_infer_sample(
+        base_model,
+        base_state.ema_params if args.ema else base_state.params, base_sched,
+        sr_model,
+        sr_state.ema_params if args.ema else sr_state.params, sr_sched,
+        n=args.n, base_steps=args.base_steps, sr_steps=args.steps,
+        eta=args.eta, seed=args.seed, out_path=args.out,
+        out_low_path=args.out_low,
+        class_id=_class_vec(args, base_exp), guidance=args.guidance,
+    )
+    print(f"[CASCADE] {base_exp.model.img_resolution}px x{args.n}"
+          f" (base {args.base_steps} steps) -> "
+          f"{sr_exp.model.img_resolution}px grid -> {args.out}"
+          f" (sr {args.steps} steps){_cfg_msg(args)}")
 
 
 def cmd_strip(args):
@@ -932,6 +1010,49 @@ def main(argv=None):
     sp.add_argument("--out", default="samples_inpaint.png")
     cfg_args(sp)
     sp.set_defaults(fn=cmd_inpaint)
+
+    sp = sub.add_parser(
+        "upsample",
+        help="super-resolve a low-res image with an SR upsampler checkpoint "
+             "(SR3/cascaded diffusion — sampling/superres.py, beyond the "
+             "reference)")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--init", required=True,
+                    help="low-resolution input image (kept at its native "
+                         "size unless --low-size crops/resizes it first)")
+    sp.add_argument("--low-size", type=int, default=None,
+                    help="center-crop + resize the input to this size "
+                         "before conditioning (e.g. 64)")
+    sp.add_argument("--n", type=int, default=4,
+                    help="variations to draw (independent noise per row)")
+    sp.add_argument("--steps", type=int, default=50)
+    sp.add_argument("--eta", type=float, default=0.0)
+    sp.add_argument("--out", default="samples_upsampled.png")
+    cfg_args(sp)
+    sp.set_defaults(fn=cmd_upsample)
+
+    sp = sub.add_parser(
+        "cascade",
+        help="two-stage generation: sample a base checkpoint, then "
+             "super-resolve every sample with an SR upsampler checkpoint")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--base-ckpt", required=True,
+                    help="the low-resolution base model checkpoint "
+                         "(--ckpt is the SR upsampler)")
+    sp.add_argument("--base-config",
+                    help="ExperimentConfig JSON for the base model "
+                         "(default: the base checkpoint's meta sidecar)")
+    sp.add_argument("--n", type=int, default=4)
+    sp.add_argument("--base-steps", type=int, default=50,
+                    help="DDIM steps for the base stage")
+    sp.add_argument("--steps", type=int, default=50,
+                    help="DDIM steps for the SR stage")
+    sp.add_argument("--eta", type=float, default=0.0)
+    sp.add_argument("--out", default="samples_cascade.png")
+    sp.add_argument("--out-low", default=None,
+                    help="also save the base-stage grid here")
+    cfg_args(sp)
+    sp.set_defaults(fn=cmd_cascade)
 
     sp = sub.add_parser("strip")
     common(sp, ckpt_required=True)

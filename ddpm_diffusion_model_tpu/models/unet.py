@@ -58,6 +58,11 @@ class UNetConfig:
     # and added to the time embedding; index num_classes is the learned
     # NULL token used for classifier-free guidance (Ho & Salimans 2022)
     num_classes: int = 0
+    # image-conditional denoising (0 = none): ``x_cond`` with this many
+    # channels is concatenated to x_t before the stem conv — the SR3 /
+    # cascaded-diffusion upsampler conditioning (ops/superres.py).  The
+    # reference has no image conditioning of any kind.
+    cond_channels: int = 0
 
     def level_plan(self):
         """Per-level (resolution, out_ch, attn?) for the encoder, plus the
@@ -123,6 +128,7 @@ class UNetDenoiser(nn.Module):
         t: jnp.ndarray,
         y: Optional[jnp.ndarray] = None,
         *,
+        x_cond: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         mode: str = "full",
         cached=None,
@@ -183,6 +189,23 @@ class UNetDenoiser(nn.Module):
         elif y is not None:
             raise ValueError("labels passed to an unconditional model "
                              "(UNetConfig.num_classes == 0)")
+
+        # image conditioning (SR upsampler): concat x_cond channelwise before
+        # the stem conv.  In "decode" mode the encoder (which consumed the
+        # cond) is skipped, so x_cond is accepted and ignored there.
+        if cfg.cond_channels:
+            if x_cond is None:
+                raise ValueError(
+                    "image-conditional model (cond_channels > 0) requires "
+                    "x_cond — build it with ops.superres.upsample_cond")
+            if x_cond.shape[-1] != cfg.cond_channels:
+                raise ValueError(
+                    f"x_cond has {x_cond.shape[-1]} channels, config says "
+                    f"cond_channels={cfg.cond_channels}")
+            if mode == "full":
+                x = jnp.concatenate([x, x_cond.astype(x.dtype)], axis=-1)
+        elif x_cond is not None:
+            raise ValueError("x_cond passed to a model without cond_channels")
 
         in_dtype = x.dtype
         if mode == "decode":

@@ -7,6 +7,7 @@ from .schedules import (  # noqa: F401
     make_schedule,
 )
 from .dropout import PackedDropout, packed_dropout  # noqa: F401
+from .superres import aug_cond, build_cond, degrade, upsample_cond  # noqa: F401
 from .diffusion import (  # noqa: F401
     ddim_step,
     loss_simple,

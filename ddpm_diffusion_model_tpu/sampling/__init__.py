@@ -19,4 +19,5 @@ from .editing import (  # noqa: F401
     truncate_ladder,
 )
 from .fast import ddim_sample_fast, ddim_sample_loop_cached  # noqa: F401
+from .superres import cascade_infer_sample, upsample_infer_sample  # noqa: F401
 from .distributed import sample_grid_sharded  # noqa: F401

@@ -44,7 +44,8 @@ __all__ = [
 ]
 
 
-def cfg_eps_fn(model, params, y=None, guidance: float = 1.0, sched=None):
+def cfg_eps_fn(model, params, y=None, guidance: float = 1.0, sched=None,
+               x_cond=None):
     """Build the ``eps_fn(x_t, t)`` closure every sampler consumes, with
     optional class conditioning + classifier-free guidance.
 
@@ -61,9 +62,14 @@ def cfg_eps_fn(model, params, y=None, guidance: float = 1.0, sched=None):
     combine (the conversion is affine in the output at fixed (x_t, t), so
     combine-then-convert equals convert-then-combine exactly, for one
     conversion instead of two).
+
+    ``x_cond``: image conditioning for SR-upsampler models
+    (``cond_channels > 0``, ops/superres.py) — threaded into every forward
+    (doubled alongside x for the CFG branch).
     """
     convert = (sched is not None
                and sched.prediction_type != "epsilon")
+    c_kw = {} if x_cond is None else {"x_cond": x_cond}
 
     def _to_eps(out, xt, t):
         if not convert:
@@ -73,20 +79,25 @@ def cfg_eps_fn(model, params, y=None, guidance: float = 1.0, sched=None):
         return model_output_to_eps(sched, out, xt, t)
 
     if y is None:
-        return lambda xt, t: _to_eps(model.apply(params, xt, t), xt, t)
+        return lambda xt, t: _to_eps(model.apply(params, xt, t, **c_kw),
+                                     xt, t)
     num_classes = int(getattr(model.config, "num_classes", 0))
     if not num_classes:
         raise ValueError("class-conditional sampling needs a conditional "
                          "model (num_classes > 0)")
     y = jnp.asarray(y, jnp.int32)
     if float(guidance) == 1.0:
-        return lambda xt, t: _to_eps(model.apply(params, xt, t, y=y), xt, t)
+        return lambda xt, t: _to_eps(
+            model.apply(params, xt, t, y=y, **c_kw), xt, t)
+
+    cc_kw = ({} if x_cond is None
+             else {"x_cond": jnp.concatenate([x_cond, x_cond])})
 
     def eps_fn(xt, t):
         xx = jnp.concatenate([xt, xt])
         tt = jnp.concatenate([t, t])
         yy = jnp.concatenate([y, jnp.full_like(y, num_classes)])
-        eps = model.apply(params, xx, tt, y=yy)
+        eps = model.apply(params, xx, tt, y=yy, **cc_kw)
         e_c, e_u = jnp.split(eps, 2)
         w = jnp.asarray(guidance, jnp.float32)
         out = e_u.astype(jnp.float32) + w * (

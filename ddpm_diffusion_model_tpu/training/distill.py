@@ -298,9 +298,14 @@ def progressive_distill(
         ladder = distill_ladder(sched.T, N)
         tx = make_optimizer(cfg)
         state, _ = init_train_state(teacher, cfg, seed=seed + phase_idx, tx=tx)
+        # Guidance is baked into the FIRST student only (Meng et al. 2023
+        # stage 1); later phases' teachers already emit guided eps, so
+        # re-applying the CFG combination would amplify guidance w-fold
+        # each halving.
+        phase_guidance = guidance if phase_idx == 0 else None
         step = make_distill_step(
             model, sched, ladder, tx, cfg,
-            guidance=guidance, weighting=weighting)
+            guidance=phase_guidance, weighting=weighting)
         losses = []
         it = iter(make_batches())
         for u in range(int(phase_updates)):

@@ -384,7 +384,11 @@ def train_ddpm(
     if init_params is None:
         dummy_x = jnp.zeros((1, img_size, img_size, model.config.in_channels))
         dummy_t = jnp.zeros((1,))
-        init_params = model.init(jax.random.key(init_seed), dummy_x, dummy_t)
+        cond_ch = int(getattr(model.config, "cond_channels", 0) or 0)
+        init_kw = ({"x_cond": jnp.zeros((1, img_size, img_size, cond_ch))}
+                   if cond_ch else {})
+        init_params = model.init(jax.random.key(init_seed), dummy_x, dummy_t,
+                                 **init_kw)
 
     tx = make_optimizer(cfg)
     state, _ = init_train_state(init_params, cfg, seed=init_seed, tx=tx)
@@ -402,8 +406,11 @@ def train_ddpm(
             label_shd = NamedSharding(
                 mesh, PartitionSpec(batch_shd.spec[0]))
     train_step = make_train_step(model, sched, tx, cfg)
-    probe_fn = make_probe_fn(model, sched) if probe_timesteps else None
-    eval_fn = make_eval_step(model, sched) if eval_loader is not None else None
+    sr_factor = int(getattr(cfg, "superres_factor", 0) or 0)
+    probe_fn = (make_probe_fn(model, sched, superres_factor=sr_factor)
+                if probe_timesteps else None)
+    eval_fn = (make_eval_step(model, sched, superres_factor=sr_factor)
+               if eval_loader is not None else None)
 
     global_step, start_epoch, resumed = 0, 0, False
     if will_resume:

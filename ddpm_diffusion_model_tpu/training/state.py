@@ -67,6 +67,16 @@ class TrainConfig:
     # network learns both eps(x,t,y) and eps(x,t) (Ho & Salimans 2022).
     # Ignored when the model is unconditional (num_classes == 0).
     cond_dropout: float = 0.1
+    # super-resolution training (SR3 / cascaded diffusion, ops/superres.py):
+    # factor >= 2 turns the loss into conditional upsampling — each batch's
+    # own antialiased /factor view (bilinearly resized back to the grid) is
+    # fed as x_cond, so the model must have cond_channels == in_channels.
+    # 0 = normal unconditional/class-conditional training.
+    superres_factor: int = 0
+    # Gaussian conditioning augmentation for SR training: per-sample
+    # sigma ~ U[0, cond_aug] noise on x_cond (CDM §3.2), teaching the
+    # upsampler robustness to the base model's imperfect samples.
+    cond_aug: float = 0.0
     # run the step tail's EMA lerp and grad-norm metric on one raveled
     # vector instead of ~300 leaf kernels — the flat_optimizer treatment
     # extended to the rest of the step.  MEASURED SLOWER on the v5e

@@ -68,9 +68,33 @@ def _split_batch(batch, conditional: bool):
     return batch, None
 
 
+def _check_superres(mcfg, superres_factor: int) -> int:
+    """Validate the superres knobs against the model config; returns the
+    factor (0 = off).  A cond_channels model REQUIRES superres training
+    (the loss must build x_cond) and vice versa."""
+    f = int(superres_factor or 0)
+    cond_ch = int(getattr(mcfg, "cond_channels", 0) or 0)
+    if f and not cond_ch:
+        raise ValueError(
+            "TrainConfig.superres_factor set but the model has no "
+            "cond_channels — use e.g. unet_256x256_config(cond_channels=3)")
+    if cond_ch and not f:
+        raise ValueError(
+            "image-conditional model (cond_channels > 0) needs "
+            "TrainConfig.superres_factor >= 2 so the loss can build x_cond")
+    if f and cond_ch != int(getattr(mcfg, "in_channels", 3)):
+        raise ValueError(
+            f"superres training derives x_cond from the batch itself, so "
+            f"cond_channels ({cond_ch}) must equal in_channels "
+            f"({getattr(mcfg, 'in_channels', 3)})")
+    return f
+
+
 def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule, weight_fn=None,
                  dropout_rng_impl: str = "threefry",
-                 cond_dropout: float = 0.1):
+                 cond_dropout: float = 0.1,
+                 superres_factor: int = 0,
+                 cond_aug: float = 0.0):
     """(params, batch, key) -> scalar L_simple with fresh t ~ U{1..T-1} and
     fresh noise, dropout active (training mode).  ``batch`` is images, or
     ``(images, labels)`` when the model is class-conditional
@@ -91,6 +115,7 @@ def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule, weight_fn=None,
     aux_weight = (float(getattr(mcfg, "moe_aux_weight", 0.0))
                   if getattr(mcfg, "num_experts", 0) else 0.0)
     num_classes = int(getattr(mcfg, "num_classes", 0))
+    sr_factor = _check_superres(mcfg, superres_factor)
 
     def loss_fn(params, batch, key: jax.Array) -> jnp.ndarray:
         x, y = _split_batch(batch, bool(num_classes))
@@ -109,18 +134,29 @@ def make_loss_fn(model: UNetDenoiser, sched: DiffusionSchedule, weight_fn=None,
         noise = jax.random.normal(kn, x.shape, dtype=jnp.float32)
         aux_box = []
 
+        cond_kw = {}
+        if sr_factor:
+            # self-supervised SR conditioning: the batch's own low-res view
+            # (+ optional Gaussian aug).  fold_in keeps the (t, noise, mask)
+            # streams identical to non-SR runs with the same key.
+            from ..ops.superres import aug_cond, build_cond
+
+            cond = build_cond(x, sr_factor)
+            cond = aug_cond(jax.random.fold_in(key, 1729), cond, cond_aug)
+            cond_kw = {"x_cond": cond}
+
         def eps_fn(x_t, tt):
             y_kw = {"y": y} if num_classes else {}
             if aux_weight:
                 eps, aux = model.apply(
                     params, x_t, tt, deterministic=False,
-                    rngs={"dropout": kd}, return_aux=True, **y_kw,
+                    rngs={"dropout": kd}, return_aux=True, **y_kw, **cond_kw,
                 )
                 aux_box.append(aux)
                 return eps
             return model.apply(
                 params, x_t, tt, deterministic=False, rngs={"dropout": kd},
-                **y_kw,
+                **y_kw, **cond_kw,
             )
 
         weight = weight_fn(t, sched) if weight_fn is not None else None
@@ -201,6 +237,8 @@ def make_train_step(
         model, sched, weight_fn=resolve_weight_fn(cfg.loss_weighting),
         dropout_rng_impl=getattr(cfg, "dropout_rng_impl", "threefry"),
         cond_dropout=getattr(cfg, "cond_dropout", 0.1),
+        superres_factor=getattr(cfg, "superres_factor", 0),
+        cond_aug=getattr(cfg, "cond_aug", 0.0),
     )
     accum = max(1, int(cfg.grad_accum_steps))
     lr_schedule = make_lr_schedule(cfg)
@@ -273,7 +311,8 @@ def make_train_step(
 
 
 def make_eval_step(
-    model: UNetDenoiser, sched: DiffusionSchedule
+    model: UNetDenoiser, sched: DiffusionSchedule,
+    superres_factor: int = 0,
 ) -> Callable[[Any, jnp.ndarray, jax.Array], jnp.ndarray]:
     """(params, batch, key) -> scalar L_simple in eval mode (no dropout, no
     grads) — the validation pass the reference never runs despite building
@@ -285,6 +324,8 @@ def make_eval_step(
     compare without Monte-Carlo jitter."""
     num_classes = int(getattr(getattr(model, "config", None),
                               "num_classes", 0))
+    sr_factor = _check_superres(getattr(model, "config", None),
+                                superres_factor)
 
     @jax.jit
     def eval_step(params, batch, key: jax.Array) -> jnp.ndarray:
@@ -293,9 +334,15 @@ def make_eval_step(
         t = sample_timesteps(kt, x.shape[0], sched.T)
         noise = jax.random.normal(kn, x.shape, dtype=jnp.float32)
         y_kw = {"y": jnp.asarray(y, jnp.int32)} if num_classes else {}
+        cond_kw = {}
+        if sr_factor:
+            from ..ops.superres import build_cond
+
+            cond_kw = {"x_cond": build_cond(x, sr_factor)}  # no aug in eval
 
         def eps_fn(x_t, tt):
-            return model.apply(params, x_t, tt, deterministic=True, **y_kw)
+            return model.apply(params, x_t, tt, deterministic=True,
+                               **y_kw, **cond_kw)
 
         return loss_simple(sched, eps_fn, x, t, noise)
 
@@ -303,16 +350,29 @@ def make_eval_step(
 
 
 def make_probe_fn(
-    model: UNetDenoiser, sched: DiffusionSchedule
+    model: UNetDenoiser, sched: DiffusionSchedule,
+    superres_factor: int = 0,
 ) -> Callable[[Any, jnp.ndarray, Tuple[int, ...], jax.Array], jnp.ndarray]:
     """Fixed-timestep loss probes: re-evaluate L_simple at chosen t values on
     the current batch (``train_one_epoch.py:134-142``), eval mode, one jitted
     program returning a (len(taus),) vector."""
 
+    sr_factor = _check_superres(getattr(model, "config", None),
+                                superres_factor)
+
     @functools.partial(jax.jit, static_argnames=("taus",))
     def probe(params, x: jnp.ndarray, taus: Tuple[int, ...], key: jax.Array) -> jnp.ndarray:
+        cond_kw = {}
+        if sr_factor:
+            # probes on an SR model: condition on the batch's own low-res
+            # view, same as the train loss (no aug — a fixed cond keeps the
+            # probe comparable across epochs)
+            from ..ops.superres import build_cond
+
+            cond_kw = {"x_cond": build_cond(x, sr_factor)}
+
         def eps_fn(x_t, tt):
-            return model.apply(params, x_t, tt, deterministic=True)
+            return model.apply(params, x_t, tt, deterministic=True, **cond_kw)
 
         losses = []
         for i, tau in enumerate(taus):

@@ -146,12 +146,30 @@ def _preset_dit_moe() -> ExperimentConfig:
     )
 
 
+def _preset_sr64to256() -> ExperimentConfig:
+    """Beyond-reference: the 64->256 SR upsampler stage of a cascade
+    (SR3 / Cascaded Diffusion; ops/superres.py).  The 256px notebook
+    architecture with 3 conditioning channels; pairs with any 64px base
+    checkpoint via the ``cascade`` CLI command."""
+    return ExperimentConfig(
+        model=unet_256x256_config(cond_channels=3),
+        diffusion=DiffusionConfig(
+            T=1000, schedule="linear", img_size=256, dynamic_threshold=0.995
+        ),
+        train=TrainConfig(base_lr=2e-4, warmup_steps=1000, grad_accum_steps=8,
+                          ema_decay=0.9997, superres_factor=4, cond_aug=0.1),
+        run_name="sr64to256", img_size=256, batch_size=64, epochs=50,
+        remat=True,
+    )
+
+
 PRESETS = {
     "celeba64_low": _preset_low,
     "celeba64_attn": _preset_attn,
     "celebahq256": _preset_hq256,
     "celeba64_dit_s4": _preset_dit,
     "celeba64_dit_moe": _preset_dit_moe,
+    "sr64to256": _preset_sr64to256,
 }
 
 

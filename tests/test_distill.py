@@ -290,6 +290,32 @@ def test_cli_distill_roundtrip(tmp_path, capsys):
     assert os.path.exists(png)
 
 
+def test_progressive_distill_bakes_guidance_once(tiny_cond, sched_free,
+                                                 monkeypatch):
+    """CFG is baked into the FIRST student only (Meng et al. 2023 stage 1);
+    later phases' teachers already emit guided eps, so re-applying w there
+    would amplify guidance w-fold per halving."""
+    import ddpm_diffusion_model_tpu.training.distill as D
+
+    model, params = tiny_cond
+    seen = []
+    real = D.make_distill_step
+
+    def spy(*args, **kwargs):
+        seen.append(kwargs.get("guidance"))
+        return real(*args, **kwargs)
+
+    monkeypatch.setattr(D, "make_distill_step", spy)
+    y = jnp.array([0, 1, 2, 0, 1, 2, 0, 1], jnp.int32)
+    D.progressive_distill(
+        model, sched_free, params,
+        make_batches=lambda: [(_toy_batch(), y)],
+        start_steps=8, end_steps=2, phase_updates=1,
+        cfg=TrainConfig(base_lr=1e-3, warmup_steps=0, flat_optimizer=False),
+        guidance=2.0, log=None)
+    assert seen == [2.0, None]
+
+
 def test_progressive_distill_rejects_short_start(tiny, sched_free):
     model, params = tiny
     with pytest.raises(ValueError, match="start_steps"):
