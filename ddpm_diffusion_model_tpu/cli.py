@@ -501,19 +501,21 @@ def cmd_sample_dpmpp(args):
     exp = _exp_from_args(args)
     model, sched, state, _ = _load_state(args.ckpt, exp)
     cls = _class_vec(args, exp)
+    variant = "SDE" if getattr(args, "sde", False) else ""
     if getattr(args, "sharded", False):
         from .parallel import make_mesh
         from .sampling import sample_grid_sharded
 
         mesh = make_mesh()
         sample_grid_sharded(
-            model, state.params, sched, mesh, kind="dpmpp", n=args.n,
+            model, state.params, sched, mesh,
+            kind="dpmpp_sde" if args.sde else "dpmpp", n=args.n,
             img_size=exp.img_size, seed=args.seed, steps=args.steps,
             schedule_kind=args.schedule, save_path=args.out,
             ema_params=state.ema_params if args.ema else None,
             class_id=cls, guidance=args.guidance,
         )
-        print(f"[INFER-DPM++] grid -> {args.out} (steps={args.steps},"
+        print(f"[INFER-DPM++{variant}] grid -> {args.out} (steps={args.steps},"
               f" sharded x{mesh.devices.size}){_cfg_msg(args)}")
         return
     dpmpp_infer_sample(
@@ -521,9 +523,9 @@ def cmd_sample_dpmpp(args):
         ema_params=state.ema_params if args.ema else None,
         out_path=args.out, seed=args.seed, steps=args.steps,
         schedule_kind=args.schedule, save_individual=args.individual,
-        class_id=cls, guidance=args.guidance,
+        class_id=cls, guidance=args.guidance, sde=args.sde,
     )
-    print(f"[INFER-DPM++] grid -> {args.out} (steps={args.steps})"
+    print(f"[INFER-DPM++{variant}] grid -> {args.out} (steps={args.steps})"
           f"{_cfg_msg(args)}")
 
 
@@ -931,6 +933,10 @@ def main(argv=None):
     sp.add_argument("--individual", action="store_true")
     sp.add_argument("--sharded", action="store_true",
                     help="shard the batch over all devices (SPMD sampling)")
+    sp.add_argument("--sde", action="store_true",
+                    help="stochastic SDE-DPM-Solver++(2M): fresh noise each "
+                         "step (re-injects what a coarse ladder "
+                         "under-resolves, like DDIM eta>0)")
     cfg_args(sp)
     sp.set_defaults(fn=cmd_sample_dpmpp)
 

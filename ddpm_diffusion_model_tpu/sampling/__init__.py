@@ -9,7 +9,12 @@ from .inference import (  # noqa: F401
     render_denoise_strip,
     render_denoise_strip_ddim,
 )
-from .solvers import dpmpp2m_coefficients, dpmpp2m_sample_loop  # noqa: F401
+from .solvers import (  # noqa: F401
+    dpmpp2m_coefficients,
+    dpmpp2m_sample_loop,
+    dpmpp2m_sde_coefficients,
+    dpmpp2m_sde_sample_loop,
+)
 from .editing import (  # noqa: F401
     box_mask,
     img2img_infer_sample,

@@ -31,7 +31,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..ops.schedules import DiffusionSchedule
 from .loops import ddim_sample_loop, ddpm_sample_loop, to_unit_interval
-from .solvers import dpmpp2m_sample_loop
+from .solvers import dpmpp2m_sample_loop, dpmpp2m_sde_sample_loop
 from .timesteps import build_ddim_schedule
 
 __all__ = ["sample_grid_sharded"]
@@ -62,6 +62,13 @@ def _sharded_sample_jit(model, params, sched, key, shape, kind, num_steps,
     elif kind == "dpmpp":
         out = dpmpp2m_sample_loop(
             sched, eps_fn, x,
+            timesteps=np.asarray(timesteps, dtype=np.int32), clip_x0=True,
+        )
+    elif kind == "dpmpp_sde":
+        # per-step noise is drawn over the GLOBAL batch shape under the same
+        # sharding constraint as x, so it shards like the samples do
+        out = dpmpp2m_sde_sample_loop(
+            sched, eps_fn, x, k_loop,
             timesteps=np.asarray(timesteps, dtype=np.int32), clip_x0=True,
         )
     else:
@@ -98,7 +105,8 @@ def sample_grid_sharded(
     Returns the gathered (n, H, W, C) [0,1] array on the host.  ``kind`` is
     ``"ddpm"`` (ancestral, ``num_steps`` truncation like the reference's
     ``training_utils.py:13``), ``"ddim"`` (ladder of ``steps``, default 50)
-    or ``"dpmpp"`` (DPM-Solver++(2M), ladder of ``steps``, default 20).
+    or ``"dpmpp"`` / ``"dpmpp_sde"`` (DPM-Solver++(2M) ODE / SDE variants,
+    ladder of ``steps``, default 20).
     Passing ``steps`` with ``kind="ddpm"`` raises — the ancestral knob is
     ``num_steps``, and silently running the full T-step chain instead of
     the requested 50 would cost ~20x wall-clock.
@@ -107,14 +115,15 @@ def sample_grid_sharded(
     models (see :func:`~.inference.cfg_eps_fn`); CFG is per-sample, so it
     shards exactly like the unconditional loop (zero extra collectives).
     """
-    if kind not in ("ddpm", "ddim", "dpmpp"):
-        raise ValueError(f"kind must be 'ddpm'|'ddim'|'dpmpp', got {kind!r}")
+    if kind not in ("ddpm", "ddim", "dpmpp", "dpmpp_sde"):
+        raise ValueError(
+            f"kind must be 'ddpm'|'ddim'|'dpmpp'|'dpmpp_sde', got {kind!r}")
     if kind == "ddpm" and steps is not None:
         raise ValueError(
             "steps= sets the DDIM ladder only; for kind='ddpm' use "
             "num_steps= (ancestral truncation)")
     if steps is None:
-        steps = {"ddim": 50, "dpmpp": 20}.get(kind)
+        steps = {"ddim": 50, "dpmpp": 20, "dpmpp_sde": 20}.get(kind)
     n_dev = mesh.shape[axis]
     if n % n_dev:
         raise ValueError(
@@ -127,7 +136,7 @@ def sample_grid_sharded(
     sched_dev = put_global(sched, mesh)
 
     ts = None
-    if kind in ("ddim", "dpmpp"):
+    if kind in ("ddim", "dpmpp", "dpmpp_sde"):
         ts = tuple(
             int(t) for t in build_ddim_schedule(
                 schedule_kind, steps, sched.T,

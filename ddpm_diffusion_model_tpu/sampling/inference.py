@@ -29,7 +29,7 @@ from ..models.unet import UNetDenoiser
 from ..ops.schedules import DiffusionSchedule
 from ..utils.images import make_grid, save_image, save_image_grid
 from .loops import ddim_sample_loop, ddpm_sample_loop, to_unit_interval
-from .solvers import dpmpp2m_sample_loop
+from .solvers import dpmpp2m_sample_loop, dpmpp2m_sde_sample_loop
 from .timesteps import build_ddim_schedule
 
 __all__ = [
@@ -153,15 +153,22 @@ def _ddim_jit(model, params, sched, key, shape, timesteps, eta, capture_steps,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("model", "shape", "timesteps", "guidance")
+    jax.jit, static_argnames=("model", "shape", "timesteps", "guidance",
+                              "sde")
 )
 def _dpmpp_jit(model, params, sched, key, shape, timesteps, y=None,
-               guidance=1.0):
-    # deterministic solver, but split like _ddim_jit so the same seed draws
-    # the same init noise across samplers (cross-sampler comparisons)
-    k_init, _ = jax.random.split(key)
+               guidance=1.0, sde=False):
+    # ODE variant is deterministic, but split like _ddim_jit so the same
+    # seed draws the same init noise across samplers (cross-sampler
+    # comparisons); the SDE variant spends the loop key on per-step noise.
+    k_init, k_loop = jax.random.split(key)
     x = jax.random.normal(k_init, shape, dtype=jnp.float32)
     eps_fn = cfg_eps_fn(model, params, y, guidance, sched=sched)
+    if sde:
+        return dpmpp2m_sde_sample_loop(
+            sched, eps_fn, x, k_loop,
+            timesteps=np.asarray(timesteps, dtype=np.int32), clip_x0=True,
+        )
     return dpmpp2m_sample_loop(
         sched, eps_fn, x,
         timesteps=np.asarray(timesteps, dtype=np.int32), clip_x0=True,
@@ -359,11 +366,14 @@ def dpmpp_infer_sample(
     schedule_idx: Optional[Sequence[int]] = None,
     class_id=None,
     guidance: float = 1.0,
+    sde: bool = False,
 ):
     """DPM-Solver++(2M) grid inference — the fast deterministic sampler
     (beyond the reference's DDPM/DDIM pair; see ``solvers.py``).  Same grid/
     save semantics as ``ddim_infer_sample``; ~20 steps matches DDIM-50.
-    ``class_id``/``guidance`` enable CFG on conditional models."""
+    ``class_id``/``guidance`` enable CFG on conditional models.
+    ``sde=True`` runs the stochastic SDE-DPM-Solver++(2M) variant (fresh
+    noise each step, exact delta-data marginals; see ``solvers.py``)."""
     p = ema_params if ema_params is not None else params
     ts = build_ddim_schedule(
         schedule_kind, steps, sched.T,
@@ -375,6 +385,7 @@ def dpmpp_infer_sample(
         (n, img_size, img_size, model.config.in_channels),
         tuple(int(t) for t in ts),
         y=_label_vector(class_id, n), guidance=float(guidance),
+        sde=bool(sde),
     )
     x01 = np.asarray(to_unit_interval(x))
     return _save_outputs(x01, out_path, save_individual, out_dir)

@@ -66,6 +66,26 @@ def test_sharded_dpmpp_matches_single_device(setup):
         x_sharded, np.asarray(to_unit_interval(x_single)), atol=2e-5)
 
 
+def test_sharded_dpmpp_sde_matches_single_device(setup):
+    """Stochastic solver, same invariance: the per-step noise is drawn over
+    the global batch shape from the same fold_in stream, so sharding does
+    not change the bits."""
+    model, sched, params = setup
+    mesh = make_mesh()
+    x_sharded = sample_grid_sharded(
+        model, params, sched, mesh, kind="dpmpp_sde", n=16, img_size=RES,
+        seed=7, steps=5,
+    )
+    from ddpm_diffusion_model_tpu.sampling.inference import _dpmpp_jit
+
+    ts = tuple(int(t) for t in build_ddim_schedule("t_linear", 5, T))
+    x_single = _dpmpp_jit(
+        model, params, sched, jax.random.key(7), (16, RES, RES, 3), ts,
+        sde=True)
+    np.testing.assert_allclose(
+        x_sharded, np.asarray(to_unit_interval(x_single)), atol=2e-5)
+
+
 def test_sharded_ddpm_matches_single_device(setup):
     model, sched, params = setup
     mesh = make_mesh()

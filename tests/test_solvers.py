@@ -19,6 +19,8 @@ from ddpm_diffusion_model_tpu.sampling import (
     ddim_sample_loop,
     dpmpp2m_coefficients,
     dpmpp2m_sample_loop,
+    dpmpp2m_sde_coefficients,
+    dpmpp2m_sde_sample_loop,
     dpmpp_infer_sample,
 )
 
@@ -209,3 +211,107 @@ def test_dpmpp_infer_sample_writes_grid(sched, tiny, tmp_path):
         model, params, sched, n=4, img_size=RES, out_path=str(out),
         steps=6, seed=8)
     assert np.abs(np.asarray(g1) - np.asarray(g3)).max() > 1e-4
+
+
+# ---------- SDE variant ----------
+
+def test_sde_coefficient_invariants(sched):
+    ts = np.array([99, 70, 40, 15, 0], dtype=np.int32)
+    c_skip, c_lin, corr, c_noise = dpmpp2m_sde_coefficients(sched, ts)
+    assert c_skip.shape == c_lin.shape == corr.shape == c_noise.shape == (4,)
+    assert np.all(c_skip > 0) and np.all(c_skip < 1)
+    assert np.all(c_lin > 0) and np.all(c_noise > 0)
+    assert corr[0] == 0.0 and corr[-1] == 0.0
+    # the correction coefficient is the SAME h/(2 h_prev) as the ODE variant
+    _, _, corr_ode = dpmpp2m_coefficients(sched, ts)
+    np.testing.assert_allclose(corr, corr_ode, rtol=1e-6)
+    # exact variance transport: c_skip^2 sigma_cur^2 + c_noise^2 = sigma_next^2
+    ab = np.asarray(sched.alphas_cumprod, np.float64)[ts]
+    sigma = np.sqrt(1.0 - ab)
+    np.testing.assert_allclose(
+        c_skip.astype(np.float64) ** 2 * sigma[:-1] ** 2
+        + c_noise.astype(np.float64) ** 2,
+        sigma[1:] ** 2, rtol=1e-5)
+    # SDE shrinks the x coefficient by exactly e^{-h} vs the ODE
+    c_skip_ode, _, _ = dpmpp2m_coefficients(sched, ts)
+    assert np.all(c_skip < c_skip_ode)
+
+
+def test_sde_exact_delta_marginals(sched_free):
+    """For a delta data distribution x0 = c the sampler's per-step transition
+    has EXACTLY the true marginal's mean alpha_t c and variance sigma_t^2
+    (docstring invariant) at ANY step count — so even a 3-step ladder must
+    land on N(alpha_0 c, sigma_0^2)."""
+    c = 0.4
+    ab = jnp.asarray(sched_free.alphas_cumprod)
+
+    def eps_fn(x, t):
+        ab_t = ab[t].reshape(-1, *([1] * (x.ndim - 1)))
+        return (x - jnp.sqrt(ab_t) * c) / jnp.sqrt(1.0 - ab_t)
+
+    ab0 = float(np.asarray(sched_free.alphas_cumprod)[0])
+    want_mean = np.sqrt(ab0) * c
+    want_std = np.sqrt(1.0 - ab0)
+    for n_steps, key in ((3, 11), (8, 12)):
+        ts = np.round(np.linspace(T - 1, 0, n_steps + 1)).astype(np.int32)
+        x_init = jax.random.normal(jax.random.key(key), (4096, 4))
+        out = np.asarray(dpmpp2m_sde_sample_loop(
+            sched_free, eps_fn, x_init, jax.random.key(key + 100),
+            timesteps=ts, clip_x0=False))
+        got_mean, got_std = float(out.mean()), float(out.std())
+        assert abs(got_mean - want_mean) < 0.01, (n_steps, got_mean, want_mean)
+        assert abs(got_std - want_std) / want_std < 0.25, (
+            n_steps, got_std, want_std)
+        # and the population is actually stochastic, not collapsed to c
+        assert got_std > 0.0
+
+
+def test_sde_determinism_and_key_sensitivity(sched):
+    eps_fn = lambda x, t: 0.3 * x
+    x_init = jax.random.normal(jax.random.key(6), (2, RES, RES, 3))
+    a = dpmpp2m_sde_sample_loop(
+        sched, eps_fn, x_init, jax.random.key(0), steps=8)
+    b = dpmpp2m_sde_sample_loop(
+        sched, eps_fn, x_init, jax.random.key(0), steps=8)
+    c = dpmpp2m_sde_sample_loop(
+        sched, eps_fn, x_init, jax.random.key(1), steps=8)
+    ode = dpmpp2m_sample_loop(sched, eps_fn, x_init, steps=8)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert np.abs(np.asarray(a) - np.asarray(c)).max() > 1e-4
+    assert np.abs(np.asarray(a) - np.asarray(ode)).max() > 1e-4
+
+
+def test_sde_gaussian_marginal_convergence(sched_free):
+    """Data N(0, s^2): the final marginal std must approach
+    sqrt(ab_0 s^2 + 1 - ab_0), tighter with more steps."""
+    s = 0.5
+    eps_fn = _gaussian_eps_fn(sched_free, s=s)
+    ab0 = float(np.asarray(sched_free.alphas_cumprod)[0])
+    want = float(np.sqrt(ab0 * s**2 + 1.0 - ab0))
+    errs = {}
+    for n_steps in (4, 40):
+        ts = np.round(np.linspace(T - 1, 0, n_steps + 1)).astype(np.int32)
+        x_init = jax.random.normal(jax.random.key(7), (2048, 8))
+        out = np.asarray(dpmpp2m_sde_sample_loop(
+            sched_free, eps_fn, x_init, jax.random.key(8),
+            timesteps=ts, clip_x0=False))
+        errs[n_steps] = abs(float(out.std()) - want) / want
+    assert errs[40] < 0.05, errs
+    assert errs[40] <= errs[4] + 0.01, errs
+
+
+def test_dpmpp_infer_sample_sde_writes_grid(sched, tiny, tmp_path):
+    model, params = tiny
+    out = tmp_path / "grid_dpmpp_sde.png"
+    g1 = dpmpp_infer_sample(
+        model, params, sched, n=4, img_size=RES, out_path=str(out),
+        steps=6, seed=7, sde=True)
+    assert out.exists()
+    g2 = dpmpp_infer_sample(
+        model, params, sched, n=4, img_size=RES, out_path=str(out),
+        steps=6, seed=7, sde=True)
+    np.testing.assert_array_equal(np.asarray(g1), np.asarray(g2))
+    g_ode = dpmpp_infer_sample(
+        model, params, sched, n=4, img_size=RES, out_path=str(out),
+        steps=6, seed=7)
+    assert np.abs(np.asarray(g1) - np.asarray(g_ode)).max() > 1e-4
