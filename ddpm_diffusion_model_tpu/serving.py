@@ -12,6 +12,10 @@ which is the right behavior for one accelerator.
                 &class_id=K&guidance=W   (conditional checkpoints: CFG)
     POST /edit   {"image": <b64 PNG>, "mode": "img2img"|"inpaint", ...}
                  -> edited grid (sampling/editing.py: SDEdit / RePaint)
+    POST /upsample {"image": <b64 PNG>, "n": 4, "steps": 50, ...}
+                 -> super-resolved grid (SR upsampler checkpoints only:
+                    cond_channels > 0, sampling/superres.py; /sample and
+                    /edit are rejected on those checkpoints and vice versa)
     GET /metrics                 -> request/sample/error counters + p50/p95
 """
 
@@ -68,8 +72,12 @@ class SamplerService:
         self._stats_lock = threading.Lock()
         self._t_start = time.time()
         self._stats = {"requests": 0, "samples": 0, "errors": 0,
-                       "client_errors": 0, "edits": 0,
+                       "client_errors": 0, "edits": 0, "upsamples": 0,
                        "coalesced_batches": 0, "sharded_batches": 0}
+        # SR upsampler checkpoints (cond_channels > 0) serve /upsample ONLY:
+        # their forward requires x_cond, which /sample and /edit cannot build
+        self.cond_channels = int(
+            getattr(model.config, "cond_channels", 0) or 0)
         self._latencies: list = []  # seconds, last _LAT_WINDOW completions
         # request coalescing (eta=0): pending queues per (steps, schedule)
         self._q_lock = threading.Lock()
@@ -174,6 +182,10 @@ class SamplerService:
         checkpoints (``model.num_classes > 0``); rejected otherwise."""
         import time
 
+        if self.cond_channels:
+            raise ValueError(
+                "this is an SR upsampler checkpoint (cond_channels > 0) — "
+                "use POST /upsample with a low-res image")
         if sampler not in ("ddim", "dpmpp"):
             raise ValueError(f"sampler must be 'ddim'|'dpmpp', got {sampler!r}")
         if schedule_kind not in self.SCHEDULE_KINDS:
@@ -251,6 +263,10 @@ class SamplerService:
         from .sampling.loops import to_unit_interval
         from .sampling.timesteps import build_ddim_schedule
 
+        if self.cond_channels:
+            raise ValueError(
+                "this is an SR upsampler checkpoint (cond_channels > 0) — "
+                "use POST /upsample with a low-res image")
         if mode not in ("img2img", "inpaint"):
             raise ValueError(f"mode must be 'img2img'|'inpaint', got {mode!r}")
         if not math.isfinite(guidance) or not math.isfinite(strength):
@@ -328,6 +344,84 @@ class SamplerService:
         with self._stats_lock:
             self._stats["requests"] += 1
             self._stats["edits"] += 1
+            self._stats["samples"] += int(n)
+            self._latencies.append(time.perf_counter() - t0)
+            del self._latencies[:-self._LAT_WINDOW]
+        return out, used
+
+    def upsample(self, image01: np.ndarray, n: int = 4, steps: int = 50,
+                 eta: float = 0.0, seed: int = 0, class_id=None,
+                 guidance: float = 1.0):
+        """Super-resolve a low-res image (``/upsample``) with an SR
+        upsampler checkpoint (``cond_channels > 0``, sampling/superres.py).
+        ``image01``: (h, w, C) float [0,1] at ANY resolution <= the service
+        resolution — it's resized on-device into the conditioning channels.
+        Returns ``(images01, used)``: n variations drawing independent
+        noise over the shared conditioning.  Same bucketing contract as
+        :meth:`edit` (n rounds to a power of two, steps snaps to
+        STEP_CHOICES); eta is a traced scalar so it never mints a compile.
+        Thread-safe; device work serializes."""
+        import time
+
+        import jax
+        import jax.numpy as jnp
+
+        from .sampling.loops import to_unit_interval
+        from .sampling.superres import _cond_from_low, _upsample_jit
+        from .sampling.timesteps import build_ddim_schedule
+
+        if not self.cond_channels:
+            raise ValueError(
+                "upsample needs an SR upsampler checkpoint "
+                "(cond_channels > 0) — this service holds a plain denoiser; "
+                "use GET /sample")
+        if not math.isfinite(guidance) or not math.isfinite(eta):
+            raise ValueError("eta/guidance must be finite")
+        guidance = min(max(float(guidance), 0.0), self.MAX_GUIDANCE)
+        guidance = round(guidance / self.GUIDANCE_STEP) * self.GUIDANCE_STEP
+        num_classes = int(getattr(self.model.config, "num_classes", 0))
+        if class_id is not None or guidance != 1.0:
+            if not num_classes:
+                raise ValueError(
+                    "class_id/guidance need a class-conditional checkpoint "
+                    "(model.num_classes > 0)")
+            if class_id is not None and not 0 <= int(class_id) < num_classes:
+                raise ValueError(
+                    f"class_id {class_id} out of range [0, {num_classes})")
+        S = self.img_size
+        img = np.asarray(image01, np.float32)
+        C = self.model.config.in_channels
+        if (img.ndim != 3 or img.shape[-1] != C
+                or not 0 < img.shape[0] <= S or not 0 < img.shape[1] <= S):
+            raise ValueError(
+                f"image must be (h<={S}, w<={S}, {C}) in [0,1], "
+                f"got {img.shape}")
+        n = max(1, min(int(n), self.MAX_N))
+        n_bucket = 1 << (n - 1).bit_length()
+        steps = min(self.STEP_CHOICES, key=lambda s: abs(s - int(steps)))
+        eta = min(max(float(eta), 0.0), 1.0)
+        used = {"n": int(n), "steps": int(steps), "eta": float(eta),
+                "seed": int(seed), "low_res": list(img.shape[:2])}
+        if num_classes:
+            used["class_id"] = None if class_id is None else int(class_id)
+            used["guidance"] = float(guidance)
+        label = (None if not num_classes or class_id is None
+                 else jnp.full((n_bucket,), int(class_id), jnp.int32))
+
+        cond = _cond_from_low(self.model, img * 2.0 - 1.0, n_bucket)
+        ts = build_ddim_schedule(
+            "t_linear", steps, self.sched.T,
+            alphas_cumprod=np.asarray(self.sched.alphas_cumprod))
+        t0 = time.perf_counter()
+        with self._lock:
+            x = _upsample_jit(
+                self.model, self.params, self.sched, cond,
+                jax.random.key(int(seed)), tuple(int(t) for t in ts),
+                float(eta), y=label, guidance=float(guidance))
+        out = np.asarray(to_unit_interval(x[:n]))
+        with self._stats_lock:
+            self._stats["requests"] += 1
+            self._stats["upsamples"] += 1
             self._stats["samples"] += int(n)
             self._latencies.append(time.perf_counter() - t0)
             del self._latencies[:-self._LAT_WINDOW]
@@ -515,6 +609,9 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                     "num_classes": int(getattr(service.model.config,
                                                "num_classes", 0)),
                     "edit_modes": ["img2img", "inpaint"],
+                    # true = SR upsampler checkpoint: POST /upsample is the
+                    # only sampling endpoint (it needs a low-res input)
+                    "upsampler": bool(service.cond_channels),
                 })
                 return
             if url.path == "/metrics":
@@ -591,6 +688,9 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
             import base64
 
             url = urlparse(self.path)
+            if url.path == "/upsample":
+                self._do_upsample()
+                return
             if url.path != "/edit":
                 self._json(404, {"error": "unknown path"})
                 return
@@ -635,6 +735,52 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                 return
             try:
                 x, used = service.edit(img01, **kw)
+            except ValueError as e:
+                service.record_client_error()
+                self._json(400, {"error": str(e)})
+                return
+            except Exception as e:  # noqa: BLE001 — surface as 500
+                service.record_error()
+                self._json(500, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._send_images(x, used, fmt)
+
+        def _do_upsample(self):
+            import base64
+
+            try:
+                length = int(self.headers.get("Content-Length", 0))
+                if not 0 < length <= self.MAX_EDIT_BODY:
+                    raise ValueError(f"body length {length} out of range")
+                req = json.loads(self.rfile.read(length))
+                if "image" not in req:
+                    raise ValueError("missing 'image' (base64 PNG/JPEG)")
+
+                from .utils.images import load_image
+
+                # low-res input keeps its NATIVE size (the conditioning
+                # resize happens on-device); optional low_size crops first
+                low_size = (int(req["low_size"])
+                            if req.get("low_size") is not None else None)
+                img01 = load_image(
+                    io.BytesIO(base64.b64decode(req["image"])),
+                    size=low_size)
+                kw = dict(
+                    n=int(req.get("n", 4)),
+                    steps=int(req.get("steps", 50)),
+                    eta=float(req.get("eta", 0.0)),
+                    seed=int(req.get("seed", 0)),
+                    class_id=(int(req["class_id"])
+                              if req.get("class_id") is not None else None),
+                    guidance=float(req.get("guidance", 1.0)),
+                )
+                fmt = req.get("format", "png")
+            except Exception as e:  # noqa: BLE001 — body decode = client error
+                service.record_client_error()
+                self._json(400, {"error": f"bad request: {e}"})
+                return
+            try:
+                x, used = service.upsample(img01, **kw)
             except ValueError as e:
                 service.record_client_error()
                 self._json(400, {"error": str(e)})

@@ -565,3 +565,109 @@ def test_edit_counts_in_metrics_and_healthz_advertises(server, src_img01):
                              "steps": 5, "strength": 0.5})
     after = json.loads(_get(server + "/metrics")[2])["edits"]
     assert after == before + 1
+
+
+# ---------- SR upsampler serving (/upsample) ----------
+
+@pytest.fixture(scope="module")
+def sr_server():
+    """Service over an image-conditional (SR upsampler) checkpoint."""
+    cfg = UNetConfig(
+        base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+        attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+        img_resolution=RES, cond_channels=3,
+    )
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    sched = make_schedule(DiffusionConfig(T=20, img_size=RES))
+    params = model.init(
+        jax.random.key(0), jnp.ones((1, RES, RES, 3)), jnp.zeros((1,)),
+        x_cond=jnp.ones((1, RES, RES, 3)))
+    svc = SamplerService(model, params, sched, RES)
+    srv = make_server(svc, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+@pytest.fixture(scope="module")
+def low_img01():
+    rng = np.random.default_rng(9)
+    return rng.uniform(0.1, 0.9, (RES // 2, RES // 2, 3)).astype(np.float32)
+
+
+def test_upsample_npy_and_determinism(sr_server, low_img01):
+    payload = {"image": _png_b64(low_img01), "n": 2, "steps": 5, "seed": 4,
+               "format": "npy"}
+    code, ctype, b1 = _post(sr_server + "/upsample", payload)
+    assert code == 200 and ctype == "application/octet-stream"
+    x1 = np.load(io.BytesIO(b1))
+    assert x1.shape == (2, RES, RES, 3)
+    assert 0.0 <= x1.min() and x1.max() <= 1.0
+    _c, _t, b2 = _post(sr_server + "/upsample", payload)
+    np.testing.assert_array_equal(x1, np.load(io.BytesIO(b2)))
+    # variations draw independent noise over the shared conditioning
+    assert np.abs(x1[0] - x1[1]).max() > 1e-6
+
+
+def test_upsample_png_grid_and_healthz(sr_server, low_img01):
+    code, _ct, body = _get(sr_server + "/healthz")
+    assert code == 200 and json.loads(body)["upsampler"] is True
+    code, ctype, body = _post(sr_server + "/upsample", {
+        "image": _png_b64(low_img01), "n": 4, "steps": 5})
+    assert code == 200 and ctype == "image/png"
+    from PIL import Image
+
+    assert Image.open(io.BytesIO(body)).size[0] > RES  # a grid
+
+
+def test_sr_checkpoint_rejects_sample_and_edit(sr_server, low_img01):
+    code, body = _get_maybe_err(sr_server + "/sample?n=2&steps=4")
+    assert code == 400 and "upsample" in json.loads(body)["error"]
+    import urllib.error
+
+    try:
+        _post(sr_server + "/edit", {"image": _png_b64(low_img01), "n": 1,
+                                    "steps": 4})
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "upsample" in json.loads(e.read())["error"]
+
+
+def test_plain_checkpoint_rejects_upsample(server, src_img01):
+    import urllib.error
+
+    try:
+        _post(server + "/upsample", {"image": _png_b64(src_img01), "n": 1,
+                                     "steps": 4})
+        raise AssertionError("expected 400")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+        assert "cond_channels" in json.loads(e.read())["error"]
+
+
+def test_upsample_validation_errors(sr_server):
+    import urllib.error
+
+    too_big = np.full((RES * 2, RES * 2, 3), 0.5, np.float32)
+    for payload in (
+        {"n": 1},                                     # missing image
+        {"image": _png_b64(too_big), "n": 1},         # larger than service res
+        {"image": _png_b64(np.full((4, 4, 3), 0.5, np.float32)),
+         "guidance": 3.0},                            # CFG on unconditional
+    ):
+        try:
+            _post(sr_server + "/upsample", payload)
+            raise AssertionError(f"expected 400 for {list(payload)}")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+
+
+def test_upsample_counts_in_metrics(sr_server, low_img01):
+    _post(sr_server + "/upsample",
+          {"image": _png_b64(low_img01), "n": 1, "steps": 5})
+    code, _ct, body = _get(sr_server + "/metrics")
+    assert code == 200
+    m = json.loads(body)
+    assert m["upsamples"] >= 1 and m["samples"] >= 1
