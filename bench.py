@@ -27,6 +27,11 @@ BASELINES = {
     "dit": 256.0,
     # MoE-DiT-S/4 (8 experts, switch top-1): same task/batch, ~103M params
     "dit_moe": 256.0,
+    # 64px latent diffusion (unet_latent16_config on f=4 VAE latents): the
+    # SAME 64px-generation task as the attention row, so vs_baseline shows
+    # the LDM compute trade.  Counts the denoiser only — the VAE encode is
+    # once-per-corpus, the decode once per sampled grid.
+    "latent": 256.0,
 }
 
 
@@ -61,6 +66,12 @@ def bench_sampling(args):
         from ddpm_diffusion_model_tpu.models import dit_moe_64_config
 
         mcfg, res, n, dyn = dit_moe_64_config(), 64, 36, None
+    elif args.config == "latent":
+        # denoiser-only latent sampling (the VAE decode is once per grid;
+        # sampling/latent.py fuses it into the same program in the product)
+        from ddpm_diffusion_model_tpu.models import unet_latent16_config
+
+        mcfg, res, n, dyn = unet_latent16_config(), 16, 36, None
     else:
         mcfg, res, n, dyn = unet_64x64_config(), 64, 36, None
     if args.batch:
@@ -69,11 +80,13 @@ def bench_sampling(args):
     from ddpm_diffusion_model_tpu.models import build_denoiser
 
     model = build_denoiser(mcfg, dtype=jnp.bfloat16)
+    ch = int(getattr(mcfg, "in_channels", 3))
     sched = make_schedule(
-        DiffusionConfig(T=1000, img_size=res, dynamic_threshold=dyn))
-    params = model.init(jax.random.key(0), jnp.ones((1, res, res, 3)),
+        DiffusionConfig(T=1000, img_size=res, dynamic_threshold=dyn,
+                        clamp_x0=args.config != "latent"))
+    params = model.init(jax.random.key(0), jnp.ones((1, res, res, ch)),
                         jnp.zeros((1,)))
-    shape = (n, res, res, 3)
+    shape = (n, res, res, ch)
     reps = max(1, args.sample_reps)
     results = {}
 
@@ -240,6 +253,11 @@ def main():
     elif args.config == "low":
         mcfg, res, batch, accum, ema = unet_64x64_low_config(), 64, 32, 1, 0.9995
         metric = "train_imgs_per_s_celeba64_low"
+    elif args.config == "latent":
+        from ddpm_diffusion_model_tpu.models import unet_latent16_config
+
+        mcfg, res, batch, accum, ema = unet_latent16_config(), 16, 128, 1, 0.9997
+        metric = "train_imgs_per_s_celeba64_latent"
     else:
         # effective batch 64 like the reference (8 x accum 8); micro-16 x 4
         # with remat off measured fastest on one v5e (112 vs 98 imgs/s)
@@ -283,15 +301,16 @@ def main():
         **tcfg_kw
     )
 
+    ch = int(getattr(mcfg, "in_channels", 3))
     params = model.init(
-        jax.random.key(0), jnp.ones((1, res, res, 3)), jnp.zeros((1,))
+        jax.random.key(0), jnp.ones((1, res, res, ch)), jnp.zeros((1,))
     )
     tx = make_optimizer(tcfg)
     state, _ = init_train_state(params, tcfg, tx=tx)
     train_step = make_train_step(model, sched, tx, tcfg)
 
     rng = np.random.default_rng(0)
-    batch_np = rng.normal(size=(batch, res, res, 3)).astype(np.float32) * 0.5
+    batch_np = rng.normal(size=(batch, res, res, ch)).astype(np.float32) * 0.5
     x = jnp.asarray(batch_np)
 
     for _ in range(args.warmup):

@@ -278,13 +278,87 @@ def cmd_train(args):
         mesh = make_mesh()
         print(f"[MESH] {args.mesh} over {mesh.devices.size} devices")
 
-    loader, eval_loader = _make_loader(
-        args, exp, with_eval=bool(getattr(args, "eval_every", 0)), mesh=mesh)
-
     sr_f = int(getattr(exp.train, "superres_factor", 0) or 0)
+    lat_ctx = None
+    if getattr(args, "latent_vae", None):
+        # latent-diffusion training (LDM): encode the PIXEL corpus through
+        # the VAE once, then the standard loop trains on latents — which
+        # are just small NHWC arrays (sampling/latent.py contract)
+        import dataclasses as _dc
+
+        from .data import ArrayDataset, DataLoader
+        from .sampling import check_latent_config, encode_corpus
+        from .training.vae import load_vae
+
+        if sr_f:
+            sys.exit("error: --latent-vae with superres_factor is not "
+                     "supported (cascade in pixel space instead)")
+        vae, vstate, _vm = load_vae(args.latent_vae)
+        check_latent_config(exp.model, exp.diffusion, vae.config)
+        exp_px = _dc.replace(exp, img_size=vae.config.img_resolution)
+        # pixel loading is one pass — never device-cache the pixel corpus
+        px_cache = (args.device_cache, args.device_cache_sharded)
+        args.device_cache = args.device_cache_sharded = False
+        px_loader, px_eval = _make_loader(
+            args, exp_px, with_eval=bool(getattr(args, "eval_every", 0)))
+        args.device_cache, args.device_cache_sharded = px_cache
+
+        def _encode_split(src, seed):
+            if src is None:
+                return None, None
+            xs, ys = [], []
+            for b in src:
+                if isinstance(b, (tuple, list)):
+                    xs.append(np.asarray(b[0], np.float32))
+                    ys.append(np.asarray(b[1]))
+                else:
+                    xs.append(np.asarray(b, np.float32))
+            z, s = encode_corpus(vae, vstate.params, np.concatenate(xs),
+                                 scale=lat_ctx and lat_ctx[2],
+                                 batch_size=exp.batch_size)
+            y = np.concatenate(ys) if ys else None
+            if args.device_cache or args.device_cache_sharded:
+                from .data import DeviceCacheLoader
+
+                # latents are NOT [-1,1]-bounded: quantize must stay off
+                kw = {}
+                if mesh is not None:
+                    from .parallel import batch_sharding
+
+                    kw = dict(sharding=batch_sharding(mesh),
+                              shard_corpus=args.device_cache_sharded)
+                return DeviceCacheLoader(z, exp.batch_size, seed=seed,
+                                         labels=y, quantize=False, **kw), s
+            return DataLoader(ArrayDataset(z, y), exp.batch_size, seed=seed,
+                              shuffle=True), s
+
+        loader, lat_scale = _encode_split(px_loader, exp.seed)
+        lat_ctx = (vae, vstate.params, lat_scale)
+        eval_loader, _ = _encode_split(px_eval, exp.seed + 1)
+        print(f"[LATENT] corpus encoded: {vae.config.img_resolution}px -> "
+              f"{vae.config.latent_resolution}^2 x "
+              f"{vae.config.latent_channels} latents (scale "
+              f"{lat_scale:.4f})")
+    else:
+        loader, eval_loader = _make_loader(
+            args, exp, with_eval=bool(getattr(args, "eval_every", 0)),
+            mesh=mesh)
+
     sr_anchor = {}
 
     def sample_fn(model_, params_, sched_, *, n, img_size, save_path, seed):
+        if lat_ctx is not None:
+            # latent run: sample latents, decode to PIXEL grids so the
+            # per-epoch monitoring (and rFID below) sees images
+            from .sampling import latent_sample
+
+            vae_, vp_, s_ = lat_ctx
+            nc_ = int(getattr(exp.model, "num_classes", 0))
+            cls_ = (np.arange(n, dtype=np.int32) % nc_) if nc_ else None
+            return latent_sample(
+                model_, params_, sched_, vae_, vp_, n=n, scale=s_,
+                kind="ddim", steps=min(50, sched_.T - 1), seed=seed,
+                save_path=save_path, class_id=cls_)
         if sr_f:
             # SR upsampler training: the per-epoch grid upsamples a FIXED
             # low-res anchor batch (degraded from the first train batch), so
@@ -329,18 +403,22 @@ def cmd_train(args):
     if args.data == "blobs" and not args.no_samples:
         # held-out reference set (disjoint seed) for per-epoch rFID scoring;
         # conditional runs render the reference from the SAME labeled
-        # distribution (class-hued backgrounds) the model trains on
+        # distribution (class-hued backgrounds) the model trains on.
+        # Latent runs sample DECODED pixels, so the reference renders at the
+        # VAE's pixel resolution, not the latent grid exp.img_size names.
+        fid_size = (lat_ctx[0].config.img_resolution if lat_ctx is not None
+                    else exp.img_size)
         nc = int(getattr(exp.model, "num_classes", 0))
         if nc:
             from .data import BlobFacesDataset
 
-            ds = BlobFacesDataset(128, img_size=exp.img_size,
+            ds = BlobFacesDataset(128, img_size=fid_size,
                                   seed=exp.seed + 999, num_classes=nc)
             fid_ref = np.stack([ds[i][0] for i in range(128)])
         else:
             from .data import blob_faces_array
 
-            fid_ref = blob_faces_array(128, img_size=exp.img_size,
+            fid_ref = blob_faces_array(128, img_size=fid_size,
                                        seed=exp.seed + 999)
 
     if getattr(args, "eval_every", 0) and eval_loader is None:
@@ -360,7 +438,14 @@ def cmd_train(args):
         log_every=args.log_every if args.log_every is not None else exp.log_every,
         probe_timesteps=[10, 50, 200, 500] if args.probes else None,
         log_grad_norm=args.probes,
-        configs_for_ckpt={"experiment": exp.to_dict()},
+        configs_for_ckpt={
+            "experiment": exp.to_dict(),
+            # latent runs: scale + VAE provenance so sample-* --vae can
+            # decode without the user re-deriving the normalization
+            **({"latent": {"vae_ckpt": os.path.abspath(args.latent_vae),
+                           "scale": float(lat_ctx[2])}}
+               if lat_ctx is not None else {}),
+        },
         fid_reference=fid_ref,
         fid_extractor=getattr(args, "fid_extractor", None),
         mesh=mesh, fsdp=(getattr(args, "mesh", "none") == "fsdp"),
@@ -381,6 +466,47 @@ def cmd_train(args):
     if rfids:
         out["rfid_first"], out["rfid_last"] = rfids[0], rfids[-1]
     print(json.dumps(out))
+
+
+def cmd_train_vae(args):
+    """Train the KL-VAE autoencoder stage of the latent-diffusion family
+    (models/autoencoder.py, training/vae.py).  The checkpoint it writes is
+    what ``train --latent-vae`` and ``sample-* --vae`` consume."""
+    import dataclasses
+    import types
+
+    from .models.autoencoder import AutoEncoderConfig, AutoEncoderKL
+    from .training import TrainConfig
+    from .training.vae import train_vae
+
+    acfg = AutoEncoderConfig(
+        in_channels=3, base_channels=args.base_channels,
+        channel_mults=tuple(int(m) for m in args.channel_mults.split(",")),
+        num_res_blocks=args.num_res_blocks,
+        latent_channels=args.latent_channels, img_resolution=args.img_size)
+    _ = acfg.latent_resolution  # divisibility check up front
+    tcfg = TrainConfig(base_lr=args.lr, warmup_steps=args.warmup,
+                       grad_clip=1.0, ema_decay=args.ema_decay,
+                       flat_optimizer=False)
+    shim = types.SimpleNamespace(
+        img_size=args.img_size, batch_size=args.batch_size, seed=args.seed,
+        model=types.SimpleNamespace(num_classes=0, in_channels=3))
+    loader, _ = _make_loader(args, shim)
+
+    mesh = None
+    if getattr(args, "mesh", "none") != "none":
+        from .parallel import make_mesh
+
+        mesh = make_mesh()
+        print(f"[MESH] data over {mesh.devices.size} devices")
+
+    _state, last = train_vae(
+        AutoEncoderKL(acfg), loader, tcfg, epochs=args.epochs,
+        kl_weight=args.kl_weight, seed=args.seed, mesh=mesh,
+        log_every=args.log_every or 50, ckpt_path=args.out,
+        configs={"vae": dataclasses.asdict(acfg), "train": tcfg.to_dict()})
+    print(json.dumps({"out": args.out, "factor": acfg.factor,
+                      "latent_resolution": acfg.latent_resolution, **last}))
 
 
 def _class_vec(args, exp):
@@ -413,11 +539,44 @@ def _cfg_msg(args):
     return f" (class={args.class_id}, guidance={args.guidance})"
 
 
+def _maybe_latent_sample(args, exp, model, sched, state, meta, kind):
+    """``--vae CKPT`` on a sample command: the checkpoint holds a LATENT
+    denoiser — sample latents and decode through the VAE
+    (sampling/latent.py).  The latent scale comes from the denoiser
+    checkpoint's meta (written by ``train --latent-vae``) or
+    ``--latent-scale``.  Returns True when handled."""
+    if not getattr(args, "vae", None):
+        return False
+    from .sampling import latent_sample
+    from .training.vae import load_vae
+
+    vae, vstate, _vm = load_vae(args.vae)
+    scale = (meta.get("configs", {}).get("latent", {}).get("scale")
+             or getattr(args, "latent_scale", None))
+    if not scale:
+        sys.exit("error: no latent scale in the checkpoint meta — pass "
+                 "--latent-scale (the value train --latent-vae printed)")
+    if getattr(args, "sharded", False) or getattr(args, "sde", False):
+        sys.exit("error: --vae does not compose with --sharded/--sde yet")
+    latent_sample(
+        model, state.ema_params if args.ema else state.params, sched,
+        vae, vstate.params, n=args.n, scale=float(scale), kind=kind,
+        steps=getattr(args, "steps", 50), eta=getattr(args, "eta", 0.0),
+        schedule_kind=getattr(args, "schedule", "t_linear"), seed=args.seed,
+        class_id=_class_vec(args, exp), guidance=args.guidance,
+        save_path=args.out)
+    print(f"[INFER-LATENT] grid -> {args.out} ({kind}, decoded through "
+          f"{args.vae}){_cfg_msg(args)}")
+    return True
+
+
 def cmd_sample_ddpm(args):
     from .sampling import ddpm_infer_sample
 
     exp = _exp_from_args(args)
-    model, sched, state, _ = _load_state(args.ckpt, exp)
+    model, sched, state, meta = _load_state(args.ckpt, exp)
+    if _maybe_latent_sample(args, exp, model, sched, state, meta, "ddpm"):
+        return
     cls = _class_vec(args, exp)
     if getattr(args, "sharded", False):
         from .parallel import make_mesh
@@ -446,7 +605,9 @@ def cmd_sample_ddim(args):
     from .sampling import ddim_infer_sample
 
     exp = _exp_from_args(args)
-    model, sched, state, _ = _load_state(args.ckpt, exp)
+    model, sched, state, meta = _load_state(args.ckpt, exp)
+    if _maybe_latent_sample(args, exp, model, sched, state, meta, "ddim"):
+        return
     cls = _class_vec(args, exp)
     if getattr(args, "sharded", False):
         from .parallel import make_mesh
@@ -499,7 +660,9 @@ def cmd_sample_dpmpp(args):
     from .sampling import dpmpp_infer_sample
 
     exp = _exp_from_args(args)
-    model, sched, state, _ = _load_state(args.ckpt, exp)
+    model, sched, state, meta = _load_state(args.ckpt, exp)
+    if _maybe_latent_sample(args, exp, model, sched, state, meta, "dpmpp"):
+        return
     cls = _class_vec(args, exp)
     variant = "SDE" if getattr(args, "sde", False) else ""
     if getattr(args, "sharded", False):
@@ -764,7 +927,51 @@ def cmd_eval(args):
 
             out["fid_ema"] = fid((ref + 1.0) / 2.0, samples,
                                  extractor_path=args.fid_extractor)
+    if args.nll or args.nll_full:
+        out.update(_eval_nll(args, exp, model, sched, state, eval_loader, nc))
     print(json.dumps(out))
+
+
+def _eval_nll(args, exp, model, sched, state, eval_loader, nc):
+    """Variational-bound bits/dim on EMA params (ops/likelihood.py) over the
+    first --nll-n held-out images; labeled loaders score the CONDITIONAL
+    bound (y threaded through cfg_eps_fn at guidance 1)."""
+    import jax
+
+    from .ops.likelihood import vlb_bits_per_dim, vlb_bits_per_dim_mc
+    from .sampling import cfg_eps_fn
+
+    if int(getattr(exp.model, "cond_channels", 0) or 0):
+        sys.exit("error: --nll needs a plain denoiser; SR upsampler "
+                 "checkpoints model p(x_hi | x_lo), not p(x)")
+    want = args.nll_n or exp.batch_size
+    xs, ys = [], []
+    for b in eval_loader:
+        if isinstance(b, (tuple, list)):
+            xs.append(np.asarray(b[0], np.float32))
+            ys.append(np.asarray(b[1]))
+        else:
+            xs.append(np.asarray(b, np.float32))
+        if sum(x.shape[0] for x in xs) >= want:
+            break
+    x0 = np.concatenate(xs)[:want]
+    y = np.concatenate(ys)[: x0.shape[0]] if (nc and ys) else None
+    eps_fn = cfg_eps_fn(model, state.ema_params, y=y, sched=sched)
+
+    @jax.jit
+    def _full(x0):
+        return vlb_bits_per_dim(sched, eps_fn, x0, jax.random.key(args.seed))
+
+    @jax.jit
+    def _mc(x0):
+        return vlb_bits_per_dim_mc(sched, eps_fn, x0,
+                                   jax.random.key(args.seed),
+                                   num_t=int(args.nll))
+
+    bpd = np.asarray(_full(x0) if args.nll_full else _mc(x0))
+    key = "nll_bpd_full" if args.nll_full else f"nll_bpd_mc{int(args.nll)}"
+    return {key: float(bpd.mean()), "nll_n": int(x0.shape[0]),
+            "nll_conditional": bool(y is not None)}
 
 
 def _as_eval_array(batch):
@@ -877,7 +1084,45 @@ def main(argv=None):
                          "'auto' (default) only when the health check fails "
                          "(reference semantics), 'force' unconditionally "
                          "(recover a healthy-but-lagging shadow)")
+    sp.add_argument("--latent-vae", metavar="VAE_CKPT",
+                    help="latent diffusion (LDM): encode the pixel corpus "
+                         "through this train-vae checkpoint and train the "
+                         "denoiser on latents — the experiment config must "
+                         "be latent-shaped (model.in_channels = VAE "
+                         "latent_channels, img_size = VAE latent grid, "
+                         "diffusion.clamp_x0 = false)")
     sp.set_defaults(fn=cmd_train)
+
+    sp = sub.add_parser(
+        "train-vae",
+        help="train the KL-VAE autoencoder stage of the latent-diffusion "
+             "family (models/autoencoder.py); its checkpoint feeds "
+             "train --latent-vae and sample-* --vae")
+    sp.add_argument("--out", required=True, help="checkpoint dir to write")
+    sp.add_argument("--data", default="synthetic",
+                    choices=["synthetic", "blobs", "zip", "hf", "celeba"])
+    sp.add_argument("--zip-path")
+    sp.add_argument("--no-crop", action="store_true")
+    sp.add_argument("--data-dir", default="data")
+    sp.add_argument("--synthetic-size", type=int, default=512)
+    sp.add_argument("--preload", action="store_true")
+    sp.add_argument("--img-size", type=int, default=64)
+    sp.add_argument("--batch-size", type=int, default=64)
+    sp.add_argument("--epochs", type=int, default=20)
+    sp.add_argument("--base-channels", type=int, default=64)
+    sp.add_argument("--channel-mults", default="1,2,4", metavar="M,M,...",
+                    help="downsample factor = 2^(len-1); 1,2,4 -> f=4 "
+                         "(64px -> 16px latents)")
+    sp.add_argument("--num-res-blocks", type=int, default=2)
+    sp.add_argument("--latent-channels", type=int, default=4)
+    sp.add_argument("--kl-weight", type=float, default=1e-4)
+    sp.add_argument("--lr", type=float, default=1e-3)
+    sp.add_argument("--warmup", type=int, default=100)
+    sp.add_argument("--ema-decay", type=float, default=0.999)
+    sp.add_argument("--seed", type=int, default=0)
+    sp.add_argument("--log-every", type=int, default=0)
+    sp.add_argument("--mesh", default="none", choices=["none", "dp"])
+    sp.set_defaults(fn=cmd_train_vae)
 
     def cfg_args(sp):
         """class-conditional sampling knobs (conditional checkpoints only)."""
@@ -889,6 +1134,12 @@ def main(argv=None):
                         help="classifier-free guidance scale: 1 = plain "
                              "conditional, 0 = unconditional, >1 amplifies "
                              "the class (typ. 1.5-5)")
+        sp.add_argument("--vae", metavar="VAE_CKPT",
+                        help="latent checkpoint (train --latent-vae): sample "
+                             "latents and decode through this VAE")
+        sp.add_argument("--latent-scale", type=float,
+                        help="override the latent scale (normally read from "
+                             "the denoiser checkpoint's meta)")
 
     sp = sub.add_parser("sample-ddpm")
     common(sp, ckpt_required=True)
@@ -1081,6 +1332,15 @@ def main(argv=None):
                     help="mounted feature-extractor file (TorchScript module "
                          "or inception_v3 state_dict) — scores TRUE FID in "
                          "addition to rFID (utils/fid.py offline hook)")
+    sp.add_argument("--nll", type=int, default=0, metavar="NUM_T",
+                    help="variational-bound bits/dim on EMA params from "
+                         "NUM_T Monte-Carlo timestep draws per image "
+                         "(ops/likelihood.py); 0 = skip")
+    sp.add_argument("--nll-full", action="store_true",
+                    help="exact bound: all T terms per image (one model "
+                         "eval per t — the cost of a full ancestral pass)")
+    sp.add_argument("--nll-n", type=int, default=0, metavar="N",
+                    help="images to score (0 = one eval batch)")
     sp.set_defaults(fn=cmd_eval)
 
     sp = sub.add_parser(

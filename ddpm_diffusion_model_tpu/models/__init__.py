@@ -7,6 +7,13 @@ from .dit import (  # noqa: F401
     dit_s4_256_config,
     dit_s4_64_config,
 )
+from .autoencoder import (  # noqa: F401
+    AutoEncoderConfig,
+    AutoEncoderKL,
+    latent_scale_factor,
+    vae_16x_config,
+    vae_64x_config,
+)
 from .moe import MoEMlp  # noqa: F401
 from .embeddings import TimeMLP, sinusoidal_time_embedding  # noqa: F401
 from .unet import (  # noqa: F401
@@ -16,6 +23,7 @@ from .unet import (  # noqa: F401
     unet_256x256_config,
     unet_64x64_config,
     unet_64x64_low_config,
+    unet_latent16_config,
 )
 
 

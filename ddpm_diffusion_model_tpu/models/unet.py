@@ -291,6 +291,22 @@ def unet_64x64_low_config(**overrides) -> UNetConfig:
     return UNetConfig(**base)
 
 
+def unet_latent16_config(**overrides) -> UNetConfig:
+    """Latent-diffusion denoiser for the 64px LDM recipe: runs on the f=4
+    KL-VAE's 16x16x4 latents (models/autoencoder.py vae_64x_config) instead
+    of 64x64x3 pixels — the Rombach et al. 2022 compute trade the reference
+    (pixel-only, ``unet_backbone.py``) never had.  Width matches the 64px
+    attention config's core; pair with ``DiffusionConfig(clamp_x0=False)``
+    (latents are unbounded)."""
+    base = dict(
+        in_channels=4, base_channels=128, channel_mults=(1, 2, 2),
+        num_res_blocks=2, attn_resolutions=(8,), time_embed_dim=512,
+        dropout=0.1, num_heads=4, head_dim=64, img_resolution=16,
+    )
+    base.update(overrides)
+    return UNetConfig(**base)
+
+
 def unet_256x256_config(**overrides) -> UNetConfig:
     """The CelebA-HQ-256 notebook config (SURVEY.md §2.2 row "256x256"):
     mults (1,1,2,2,4), attention at 16x16 only."""

@@ -1,6 +1,7 @@
 from .timesteps import build_ddim_schedule, ddpm_timesteps  # noqa: F401
 from .loops import ddim_sample_loop, ddpm_sample_loop, to_unit_interval  # noqa: F401
 from .inference import (  # noqa: F401
+    cfg_eps_fn,
     ddim_infer_sample,
     ddim_sample,
     ddpm_infer_sample,
@@ -25,4 +26,10 @@ from .editing import (  # noqa: F401
 )
 from .fast import ddim_sample_fast, ddim_sample_loop_cached  # noqa: F401
 from .superres import cascade_infer_sample, upsample_infer_sample  # noqa: F401
+from .latent import (  # noqa: F401
+    check_latent_config,
+    encode_corpus,
+    latent_sample,
+    make_latent_sample_fn,
+)
 from .distributed import sample_grid_sharded  # noqa: F401

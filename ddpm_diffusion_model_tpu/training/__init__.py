@@ -31,4 +31,11 @@ from .distill import (  # noqa: F401
     student_x0,
 )
 from .loop import evaluate_loss, train_ddpm, train_one_epoch  # noqa: F401
+from .vae import (  # noqa: F401
+    load_vae,
+    make_vae_train_step,
+    train_vae,
+    vae_decode_fn,
+    vae_encode_fn,
+)
 from .diagnostics import StepTimer, device_mem_mb, fmt_hms, profiler_trace  # noqa: F401

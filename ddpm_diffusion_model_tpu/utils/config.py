@@ -163,6 +163,25 @@ def _preset_sr64to256() -> ExperimentConfig:
     )
 
 
+def _preset_latent() -> ExperimentConfig:
+    """Beyond-reference: 64px latent diffusion (LDM, Rombach et al. 2022).
+    The denoiser runs on an f=4 KL-VAE's 16x16x4 latents
+    (models/autoencoder.py vae_64x_config); train with
+    ``train --preset celeba64_latent --latent-vae <vae_ckpt>`` after
+    ``train-vae``, sample with ``sample-* --vae <vae_ckpt>``.  clamp_x0 is
+    OFF — latents are unbounded (sampling/latent.py check_latent_config)."""
+    from ..models.unet import unet_latent16_config
+
+    return ExperimentConfig(
+        model=unet_latent16_config(),
+        diffusion=DiffusionConfig(T=1000, schedule="linear", img_size=16,
+                                  clamp_x0=False),
+        train=TrainConfig(base_lr=2e-4, warmup_steps=1000, grad_accum_steps=1,
+                          ema_decay=0.9997),
+        run_name="celeba64_latent", img_size=16, batch_size=128, epochs=50,
+    )
+
+
 PRESETS = {
     "celeba64_low": _preset_low,
     "celeba64_attn": _preset_attn,
@@ -170,6 +189,7 @@ PRESETS = {
     "celeba64_dit_s4": _preset_dit,
     "celeba64_dit_moe": _preset_dit_moe,
     "sr64to256": _preset_sr64to256,
+    "celeba64_latent": _preset_latent,
 }
 
 
