@@ -3,6 +3,7 @@ from .schedules import (  # noqa: F401
     DiffusionSchedule,
     beta_schedule_cosine,
     beta_schedule_linear,
+    beta_schedule_rf,
     extract,
     make_schedule,
 )

@@ -71,12 +71,18 @@ def prediction_target(
     - "v": v = sqrt(ab_t) eps - sqrt(1-ab_t) x0 (Salimans & Ho 2022) —
       bounded at every t, the modern default for high-res / distillation
     - "x0": the clean image
+    - "flow": the flow-matching velocity u = eps - x0 (rectified flow,
+      Liu et al. 2023) — t-independent target; pair with schedule="rf"
+      (ops/schedules.py beta_schedule_rf) for the linear-interpolant
+      marginals this velocity field transports
     """
     kind = sched.prediction_type
     if kind == "epsilon":
         return noise
     if kind == "x0":
         return x0
+    if kind == "flow":
+        return noise - x0
     if kind == "v":
         sqrt_ab = extract(sched.sqrt_alphas_cumprod, t, x0.ndim)
         sqrt_omb = extract(sched.sqrt_one_minus_alphas_cumprod, t, x0.ndim)
@@ -103,6 +109,9 @@ def model_output_to_eps(
     - "x0": eps = (x_t - sqrt(ab_t) x0_hat) / sqrt(1-ab_t); t=0 has
             sqrt(1-ab) ~= sqrt(beta_0) > 0, and samplers never divide
             by an exactly-zero coefficient on the trained range
+    - "flow": from u = eps - x0 and x_t = a x0 + b eps:
+            eps = (x_t + a u) / (a + b) — a + b >= 1 for any schedule,
+            so no epsilon guard is needed
     """
     kind = sched.prediction_type
     if kind == "epsilon":
@@ -113,6 +122,8 @@ def model_output_to_eps(
         return sqrt_ab * out + sqrt_omb * x_t
     if kind == "x0":
         return (x_t - sqrt_ab * out) / (sqrt_omb + 1e-12)
+    if kind == "flow":
+        return (x_t + sqrt_ab * out) / (sqrt_ab + sqrt_omb)
     raise ValueError(f"unknown prediction_type {kind!r}")
 
 

@@ -26,6 +26,7 @@ __all__ = [
     "DiffusionSchedule",
     "beta_schedule_linear",
     "beta_schedule_cosine",
+    "beta_schedule_rf",
     "make_schedule",
     "extract",
 ]
@@ -63,6 +64,30 @@ def beta_schedule_cosine(T: int, s: float = 0.008) -> np.ndarray:
     return np.clip(betas, 1e-8, 0.999).astype(np.float32)
 
 
+def beta_schedule_rf(T: int) -> np.ndarray:
+    """Rectified-flow / flow-matching schedule, expressed as betas.
+
+    The linear interpolant x_s = (1-s) x0 + s eps (Liu et al. 2023; the
+    SD3/Flux family) is a variance-preserving diffusion after dividing by
+    c_s = sqrt((1-s)^2 + s^2):
+
+        alpha_bar(s) = (1-s)^2 / ((1-s)^2 + s^2),   SNR(s) = ((1-s)/s)^2
+
+    so the ENTIRE stack — q_sample, every sampler, CFG, weightings, the
+    likelihood bound — runs flow matching unchanged through the standard
+    tables.  Discretized at s_t = (t+1)/(T+1), t = 0..T-1 (s=0 would make
+    alpha_bar exactly 1 and degenerate the t=0 conversions, same reason the
+    linear schedule starts at beta_min > 0).  The reference has no flow
+    path at all; pair with ``prediction_type="flow"`` for the canonical
+    velocity target u = eps - x0.
+    """
+    s = (np.arange(T, dtype=np.float64) + 1.0) / (T + 1.0)
+    ab = (1.0 - s) ** 2 / ((1.0 - s) ** 2 + s**2)
+    ab_prev = np.concatenate([np.ones((1,)), ab[:-1]])
+    betas = 1.0 - ab / ab_prev
+    return np.clip(betas, 1e-8, 0.999).astype(np.float32)
+
+
 @dataclasses.dataclass(frozen=True)
 class DiffusionConfig:
     """Static diffusion hyperparameters (the ctor args of the reference's
@@ -72,7 +97,7 @@ class DiffusionConfig:
     """
 
     T: int = 1000
-    schedule: str = "linear"  # "linear" | "cosine"
+    schedule: str = "linear"  # "linear" | "cosine" | "rf"
     beta_min: float = 1e-4
     beta_max: float = 2e-2
     cosine_s: float = 0.008
@@ -84,6 +109,9 @@ class DiffusionConfig:
     #   "v"       — predict v = sqrt(ab) eps - sqrt(1-ab) x0
     #               (Salimans & Ho 2022, progressive distillation)
     #   "x0"      — predict the clean image directly
+    #   "flow"    — predict the flow-matching velocity u = eps - x0
+    #               (rectified flow, Liu et al. 2023; pair with
+    #               schedule="rf" for the linear-interpolant marginals)
     # Training targets the native space; samplers convert back to eps at
     # the eps_fn boundary (ops/diffusion.py model_output_to_eps), so every
     # sampler works unchanged under any parameterization.
@@ -140,10 +168,12 @@ def make_schedule(config: DiffusionConfig) -> DiffusionSchedule:
         betas = beta_schedule_linear(config.T, config.beta_min, config.beta_max)
     elif config.schedule == "cosine":
         betas = beta_schedule_cosine(config.T, s=config.cosine_s)
+    elif config.schedule == "rf":
+        betas = beta_schedule_rf(config.T)
     else:
         raise ValueError(f"unknown schedule: {config.schedule!r}")
-    if config.prediction_type not in ("epsilon", "v", "x0"):
-        raise ValueError("prediction_type must be 'epsilon'|'v'|'x0', "
+    if config.prediction_type not in ("epsilon", "v", "x0", "flow"):
+        raise ValueError("prediction_type must be 'epsilon'|'v'|'x0'|'flow', "
                          f"got {config.prediction_type!r}")
 
     betas = betas.astype(np.float32)

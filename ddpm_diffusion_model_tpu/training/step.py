@@ -183,7 +183,9 @@ def resolve_weight_fn(name):
     converted into the native space so the EFFECTIVE objective is the same
     one the name means, independent of what the network outputs: at fixed
     (x_t, t), err_v = err_eps/sqrt(ab) and err_x0 = -sqrt((1-ab)/ab) err_eps,
-    so w_native = w_eps * ab (v) or w_eps * SNR (x0).  E.g. "min_snr_5"
+    so w_native = w_eps * ab (v) or w_eps * SNR (x0); for "flow"
+    (u = eps - x0), err_eps = a/(a+b) err_u with a = sqrt(ab), b =
+    sqrt(1-ab), so w_native = w_eps * ab/(a+b)^2.  E.g. "min_snr_5"
     under v yields exactly the Min-SNR paper's min(SNR,5)/(SNR+1).
     Uniform is intentionally NOT converted — plain native-space MSE is the
     standard loss for each parameterization.
@@ -206,6 +208,9 @@ def resolve_weight_fn(name):
                 return w * ab_of(t, sched)
             if kind == "x0":
                 return w * snr_of(t, sched)
+            if kind == "flow":
+                ab = ab_of(t, sched)
+                return w * ab / jnp.square(jnp.sqrt(ab) + jnp.sqrt(1.0 - ab))
             return w
 
         return fn
