@@ -17,7 +17,23 @@ _DEFAULT = os.path.join(os.path.expanduser("~"), ".cache", "ddpm_tpu_jax_cache")
 def enable_compilation_cache(path: str | None = None) -> str:
     import jax
 
-    path = path or os.environ.get("DDPM_TPU_CACHE_DIR", _DEFAULT)
+    env = os.environ.get("DDPM_TPU_CACHE_DIR")
+    if env == "off":
+        # the pytest suite sets this (tests/conftest.py): CLI e2e tests call
+        # main() in-process, which would otherwise flip the GLOBAL jax config
+        # to a persistent cache for the rest of the suite — and (observed on
+        # this host) (de)serializing the largest executables under the
+        # suite's memory pressure segfaults inside zstd.  Tests recompile;
+        # only real CLI/bench processes persist.
+        return ""
+    path = path or env or _DEFAULT
+    # Per-backend subdir: the CPU-mesh test suite (CLI e2e tests enable the
+    # cache in-process) and real-TPU runs must never share cache FILES —
+    # a killed writer leaves a truncated entry, and a concurrent or later
+    # reader of that file segfaults inside zstd (observed on this host).
+    # Entry keys already include the platform, so this only separates the
+    # directories, it does not change what hits.
+    path = os.path.join(path, jax.default_backend())
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

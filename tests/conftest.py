@@ -38,6 +38,11 @@ def pytest_sessionstart(session):
     env.pop("TPU_WORKER_HOSTNAMES", None)  # plugin residue (sitecustomize
     #                                        setdefault) — not a real cluster
     env["JAX_PLATFORMS"] = "cpu"
+    # no persistent compile cache inside the suite: CLI e2e tests call
+    # main() in-process and would otherwise enable it globally; large-entry
+    # (de)serialization under suite memory pressure segfaults zstd on this
+    # host (utils/compilation_cache.py honors the sentinel)
+    env["DDPM_TPU_CACHE_DIR"] = "off"
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
@@ -46,6 +51,7 @@ def pytest_sessionstart(session):
 
 if not _needs_cpu_sandbox():
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    os.environ["DDPM_TPU_CACHE_DIR"] = "off"  # see pytest_sessionstart
     _flags = os.environ.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in _flags:
         os.environ["XLA_FLAGS"] = (
