@@ -21,10 +21,17 @@ def enable_compilation_cache(path: str | None = None) -> str:
     if env == "off":
         # the pytest suite sets this (tests/conftest.py): CLI e2e tests call
         # main() in-process, which would otherwise flip the GLOBAL jax config
-        # to a persistent cache for the rest of the suite — and (observed on
-        # this host) (de)serializing the largest executables under the
-        # suite's memory pressure segfaults inside zstd.  Tests recompile;
-        # only real CLI/bench processes persist.
+        # to a persistent cache for the rest of the suite.
+        return ""
+    if os.environ.get("PALLAS_AXON_POOL_IPS") and jax.default_backend() == "tpu":
+        # tunneled TPU plugin: persistent-cache WRITES work, but a cache-hit
+        # READ (executable deserialization over the relay) hangs forever and
+        # blocks the serialized tunnel for every process behind it —
+        # bisected on this host with an A/B of the same unique program
+        # (write-run returns in seconds, identical read-run never returns).
+        # Recompiling every run is slow but terminates.
+        print("[CACHE] tunneled TPU plugin: persistent compilation cache "
+              "disabled (cache-hit reads hang over the relay)")
         return ""
     path = path or env or _DEFAULT
     # Per-backend subdir: the CPU-mesh test suite (CLI e2e tests enable the

@@ -60,3 +60,24 @@ if not _needs_cpu_sandbox():
 
 # repo root importable regardless of pytest invocation dir
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _release_compiled_executables():
+    """Drop jit-compiled executables at every module boundary.
+
+    The suite compiles ~500 programs into ONE process; the CPU backend
+    keeps every executable's JIT code resident for the life of its jitted
+    fn, and past a threshold a later large compile segfaults inside XLA
+    (observed repeatedly at the same test with 120 GB of free RAM — it is
+    executable accumulation, not memory pressure, and not the persistent
+    cache: the crash site moved read -> write -> raw compile as those were
+    eliminated).  Clearing per module bounds the live set; cross-module
+    recompiles are the (correct, modest) cost."""
+    yield
+    import jax
+
+    jax.clear_caches()
