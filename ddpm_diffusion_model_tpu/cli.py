@@ -700,7 +700,7 @@ def cmd_distill(args):
     into the student, so the student samples guided at single-forward cost
     (guidance=1)."""
     from .training import TrainConfig, init_train_state, make_optimizer
-    from .training import progressive_distill, save_checkpoint
+    from .training import consistency_distill, progressive_distill, save_checkpoint
 
     exp = _exp_from_args(args)
     model, sched, state, _ = _load_state(args.ckpt, exp)
@@ -710,7 +710,7 @@ def cmd_distill(args):
     if args.guidance is not None and not nc:
         sys.exit("error: --guidance needs a class-conditional checkpoint "
                  "(the student distills the guided conditional sampler)")
-    if sched.prediction_type == "epsilon":
+    if sched.prediction_type == "epsilon" and args.mode == "progressive":
         print("[DISTILL] note: epsilon-prediction teacher — distillation "
               "works but v-prediction teachers distill better at few steps "
               "(Salimans & Ho 2022 §4; train with prediction_type: 'v')")
@@ -721,25 +721,82 @@ def cmd_distill(args):
         grad_clip=exp.train.grad_clip,
         flat_optimizer=exp.train.flat_optimizer,
     )
-    params, info = progressive_distill(
-        model, sched, teacher, make_batches=lambda: loader,
-        start_steps=args.start_steps, end_steps=args.to_steps,
-        phase_updates=args.phase_updates, cfg=cfg,
-        guidance=args.guidance, weighting=args.weighting, seed=exp.seed)
+    if args.mode == "consistency":
+        params, info = consistency_distill(
+            model, sched, teacher, make_batches=lambda: loader,
+            num_ladder_steps=args.ladder_steps, updates=args.phase_updates,
+            cfg=cfg, guidance=args.guidance, distance=args.distance,
+            seed=exp.seed)
+    else:
+        params, info = progressive_distill(
+            model, sched, teacher, make_batches=lambda: loader,
+            start_steps=args.start_steps, end_steps=args.to_steps,
+            phase_updates=args.phase_updates, cfg=cfg,
+            guidance=args.guidance, weighting=args.weighting, seed=exp.seed)
 
     out_state, _ = init_train_state(params, cfg, seed=exp.seed,
                                     tx=make_optimizer(cfg))
     path = save_checkpoint(
         args.out, out_state,
         extra={"distilled_steps": info["steps"],
+               "distill_mode": args.mode,
                "distill_guidance": args.guidance,
                "distill_phases": info["phases"]},
         configs={"experiment": exp.to_dict()})
-    print(json.dumps({"out": path, "steps": info["steps"],
+    print(json.dumps({"out": path, "mode": args.mode, "steps": info["steps"],
                       "phases": info["phases"]}))
-    print(f"[DISTILL] student -> {path}; sample with: sample-ddim "
-          f"--ckpt {args.out} --schedule linear --steps {info['steps']}"
-          + (f" --class-id all" if nc else ""))
+    if args.mode == "consistency":
+        print(f"[DISTILL] consistency student -> {path}; sample with: "
+              f"sample-cm --ckpt {args.out} --steps 1"
+              + (" --class-id all" if nc else ""))
+    else:
+        print(f"[DISTILL] student -> {path}; sample with: sample-ddim "
+              f"--ckpt {args.out} --schedule linear --steps {info['steps']}"
+              + (f" --class-id all" if nc else ""))
+
+
+def cmd_sample_cm(args):
+    """Sample a consistency-distilled checkpoint (training/consistency.py):
+    1 network forward per sample at --steps 1, or the stochastic multistep
+    refinement at --steps N.  Guidance is baked in at distillation time
+    (Meng et al. 2023), so --guidance is rejected here."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from .training import consistency_sample_loop
+    from .utils.images import save_image_grid
+
+    if getattr(args, "vae", None):
+        sys.exit("sample-cm: latent consistency checkpoints are not "
+                 "supported; distill in pixel space")
+    if getattr(args, "guidance", 1.0) != 1.0:
+        sys.exit("sample-cm: guidance is baked into the student at distill "
+                 "time (distill --mode consistency --guidance W); "
+                 "sample with --class-id only")
+
+    exp = _exp_from_args(args)
+    model, sched, state, _ = _load_state(args.ckpt, exp)
+    params = state.ema_params if args.ema else state.params
+
+    nc = int(getattr(exp.model, "num_classes", 0))
+    cls = _class_vec(args, exp)
+    y = None
+    if nc:
+        if cls is None:
+            y = jnp.full((args.n,), nc, jnp.int32)  # the null (uncond) class
+        elif np.ndim(cls) == 0:
+            y = jnp.full((args.n,), int(cls), jnp.int32)
+        else:
+            y = jnp.asarray(cls, jnp.int32)
+
+    x = consistency_sample_loop(
+        model, params, sched, (args.n, exp.img_size, exp.img_size, 3),
+        jax.random.key(args.seed), steps=args.steps, y=y)
+    x01 = np.asarray((x + 1.0) * 0.5)
+    save_image_grid(x01, args.out, nrow=int(args.n ** 0.5))
+    print(f"[SAMPLE-CM] grid -> {args.out} (steps={args.steps}, NFE="
+          f"{args.steps}){_cfg_msg(args)}")
 
 
 def cmd_img2img(args):
@@ -1224,7 +1281,32 @@ def main(argv=None):
                          "guided at guidance=1 cost)")
     sp.add_argument("--weighting", default="truncated_snr",
                     choices=["truncated_snr", "snr", "uniform"])
+    sp.add_argument("--mode", default="progressive",
+                    choices=["progressive", "consistency"],
+                    help="progressive = ladder halving (Salimans & Ho); "
+                         "consistency = one-phase consistency distillation "
+                         "(Song et al. 2023) — student samples at ANY NFE "
+                         "via sample-cm")
+    sp.add_argument("--ladder-steps", type=int, default=32,
+                    help="[consistency] teacher ladder segments N (the CD "
+                         "pairing grid; NOT the student's sampling steps)")
+    sp.add_argument("--distance", default="pseudo_huber",
+                    choices=["pseudo_huber", "l2"],
+                    help="[consistency] CD distance (pseudo-Huber: Song & "
+                         "Dhariwal 2023)")
     sp.set_defaults(fn=cmd_distill)
+
+    sp = sub.add_parser(
+        "sample-cm",
+        help="sample a consistency-distilled checkpoint at 1..N forwards "
+             "(training/consistency.py, beyond the reference)")
+    common(sp, ckpt_required=True)
+    sp.add_argument("--n", type=int, default=16)
+    sp.add_argument("--steps", type=int, default=2,
+                    help="network forwards per sample (1 = single-step)")
+    sp.add_argument("--out", default="samples_cm.png")
+    cfg_args(sp)
+    sp.set_defaults(fn=cmd_sample_cm)
 
     sp = sub.add_parser(
         "img2img",

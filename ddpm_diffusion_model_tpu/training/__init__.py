@@ -30,6 +30,14 @@ from .distill import (  # noqa: F401
     student_timesteps,
     student_x0,
 )
+from .consistency import (  # noqa: F401
+    consistency_distill,
+    consistency_fn,
+    consistency_ladder,
+    consistency_sample_loop,
+    consistency_scalings,
+    make_consistency_step,
+)
 from .loop import evaluate_loss, train_ddpm, train_one_epoch  # noqa: F401
 from .vae import (  # noqa: F401
     load_vae,
