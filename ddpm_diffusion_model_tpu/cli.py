@@ -776,7 +776,16 @@ def cmd_sample_cm(args):
                  "sample with --class-id only")
 
     exp = _exp_from_args(args)
-    model, sched, state, _ = _load_state(args.ckpt, exp)
+    model, sched, state, meta = _load_state(args.ckpt, exp)
+    extra = (meta or {}).get("extra", {}) or {}
+    mode = extra.get("distill_mode")
+    if mode != "consistency":
+        # a base or progressive-distilled checkpoint has no consistency
+        # parameterization — f_theta would run but emit garbage silently
+        sys.exit(f"sample-cm: checkpoint {args.ckpt} is not a consistency "
+                 f"student (meta distill_mode={mode!r}); produce one with "
+                 "distill --mode consistency, or sample this checkpoint "
+                 "with sample-ddpm/sample-ddim/sample-dpmpp")
     params = state.ema_params if args.ema else state.params
 
     nc = int(getattr(exp.model, "num_classes", 0))
@@ -784,6 +793,13 @@ def cmd_sample_cm(args):
     y = None
     if nc:
         if cls is None:
+            if extra.get("distill_guidance") is not None:
+                # the CD loss only ever supervised real labels — the
+                # guidance-baked student's null-class pathway is untrained
+                print("[SAMPLE-CM] warning: guidance is baked into this "
+                      "student from labeled teaching only; unconditional "
+                      "(no --class-id) output is untrained and may be "
+                      "degraded — pass --class-id K or 'all'")
             y = jnp.full((args.n,), nc, jnp.int32)  # the null (uncond) class
         elif np.ndim(cls) == 0:
             y = jnp.full((args.n,), int(cls), jnp.int32)

@@ -8,7 +8,8 @@ which is the right behavior for one accelerator.
 
     python -m ddpm_diffusion_model_tpu.serving --ckpt ck/run_last --port 8000
     GET /healthz                 -> {"status": "ok", ...}
-    GET /sample?n=4&steps=50&eta=0.0&seed=7&format=png|npy&sampler=ddim|dpmpp
+    GET /sample?n=4&steps=50&eta=0.0&seed=7&format=png|npy
+                &sampler=ddim|dpmpp|cm   (cm: consistency students, 1-NFE)
                 &class_id=K&guidance=W   (conditional checkpoints: CFG)
     POST /edit   {"image": <b64 PNG>, "mode": "img2img"|"inpaint", ...}
                  -> edited grid (sampling/editing.py: SDEdit / RePaint)
@@ -41,7 +42,8 @@ class SamplerService:
     """Checkpoint-backed sampler with a warm jit cache."""
 
     def __init__(self, model, params, sched, img_size: int, use_ema_params=None,
-                 use_mesh: bool = True):
+                 use_mesh: bool = True, consistency: bool = False,
+                 cm_guidance: Optional[float] = None):
         import time
 
         import jax
@@ -50,6 +52,12 @@ class SamplerService:
         self.params = use_ema_params if use_ema_params is not None else params
         self.sched = sched
         self.img_size = img_size
+        # consistency students (distill --mode consistency) serve sampler=cm
+        # ONLY: their weights parameterize f_theta through c_skip/c_out, so
+        # the plain eps samplers (and /edit, which rides the eps boundary)
+        # would emit garbage; conversely plain checkpoints reject sampler=cm.
+        self.consistency = bool(consistency)
+        self.cm_guidance = cm_guidance  # baked-in CFG scale (meta), if any
         # mesh-aware serving: with >1 visible device, replicate the params
         # over a ('data',) mesh once and shard each coalesced eta=0 batch's
         # init noise over it — the SAME jitted scan becomes SPMD (GSPMD
@@ -137,11 +145,14 @@ class SamplerService:
                 exp = ExperimentConfig.from_dict(meta["configs"]["experiment"])
         if exp is None:
             exp = get_preset("celeba64_low")
-        model, sched, state, _ = _load_state(ckpt_path, exp)
+        model, sched, state, meta = _load_state(ckpt_path, exp)
+        extra = (meta or {}).get("extra", {}) or {}
         return cls(
             model, state.params, sched, exp.img_size,
             use_ema_params=state.ema_params if ema else None,
             use_mesh=use_mesh,
+            consistency=extra.get("distill_mode") == "consistency",
+            cm_guidance=extra.get("distill_guidance"),
         )
 
     # shape/ladder are static jit arguments: every distinct (n, steps) pair
@@ -186,8 +197,31 @@ class SamplerService:
             raise ValueError(
                 "this is an SR upsampler checkpoint (cond_channels > 0) — "
                 "use POST /upsample with a low-res image")
-        if sampler not in ("ddim", "dpmpp"):
-            raise ValueError(f"sampler must be 'ddim'|'dpmpp', got {sampler!r}")
+        if sampler not in ("ddim", "dpmpp", "cm"):
+            raise ValueError(
+                f"sampler must be 'ddim'|'dpmpp'|'cm', got {sampler!r}")
+        if self.consistency != (sampler == "cm"):
+            raise ValueError(
+                "sampler=cm serves consistency-distilled checkpoints only"
+                if sampler == "cm" else
+                "this is a consistency student checkpoint — its weights "
+                "parameterize f_theta, not eps; use sampler=cm (1-NFE)")
+        if sampler == "cm":
+            # 1-NFE only: multistep CM re-noises from ONE loop key, which
+            # would entangle coalesced requests' seeds — rejected the same
+            # way the stochastic SDE solver is (use the CLI sample-cm for
+            # steps > 1).  Deterministic per seed, so it coalesces freely.
+            if int(steps) != 1:
+                raise ValueError(
+                    "sampler=cm serves 1-NFE only (steps=1): multistep CM "
+                    "refinement is stochastic per batch — use the CLI "
+                    "sample-cm for steps > 1")
+            if guidance != 1.0:
+                baked = (f" (w={self.cm_guidance} baked in at distillation)"
+                         if self.cm_guidance is not None else "")
+                raise ValueError(
+                    "sampler=cm: guidance is fixed at distillation time"
+                    + baked + "; pass class_id only")
         if schedule_kind not in self.SCHEDULE_KINDS:
             # validate BEFORE the eta fork so a bad kind is the same
             # ValueError (→ 400) whether or not the request coalesces
@@ -210,8 +244,8 @@ class SamplerService:
             if class_id is not None and not 0 <= int(class_id) < num_classes:
                 raise ValueError(
                     f"class_id {class_id} out of range [0, {num_classes})")
-        if sampler == "dpmpp":
-            eta = 0.0  # the solver is deterministic; always coalescible
+        if sampler in ("dpmpp", "cm"):
+            eta = 0.0  # deterministic samplers; always coalescible
         n = max(1, min(int(n), self.MAX_N))
         steps = min(self.STEP_CHOICES, key=lambda s: abs(s - int(steps)))
         used = {"n": int(n), "steps": int(steps), "eta": float(eta),
@@ -267,6 +301,11 @@ class SamplerService:
             raise ValueError(
                 "this is an SR upsampler checkpoint (cond_channels > 0) — "
                 "use POST /upsample with a low-res image")
+        if self.consistency:
+            raise ValueError(
+                "/edit rides the eps-prediction boundary, which a "
+                "consistency student's weights no longer satisfy — edit "
+                "with the base (pre-distillation) checkpoint")
         if mode not in ("img2img", "inpaint"):
             raise ValueError(f"mode must be 'img2img'|'inpaint', got {mode!r}")
         if not math.isfinite(guidance) or not math.isfinite(strength):
@@ -524,8 +563,14 @@ class SamplerService:
         from .sampling.loops import to_unit_interval
         from .sampling.timesteps import build_ddim_schedule
 
-        kernel = (_dpmpp_from_init_jit if sampler == "dpmpp"
-                  else _ddim_from_init_jit)
+        if sampler == "cm":
+            from .training.consistency import _cm_from_init_jit
+
+            def kernel(model, params, sched, x_init, ts, y=None, guidance=1.0):
+                return _cm_from_init_jit(model, params, sched, x_init, y=y)
+        else:
+            kernel = (_dpmpp_from_init_jit if sampler == "dpmpp"
+                      else _ddim_from_init_jit)
 
         ts = tuple(int(t) for t in build_ddim_schedule(
             schedule_kind, steps, self.sched.T,
@@ -608,7 +653,11 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                     # 0 = unconditional checkpoint (class_id/guidance rejected)
                     "num_classes": int(getattr(service.model.config,
                                                "num_classes", 0)),
-                    "edit_modes": ["img2img", "inpaint"],
+                    "edit_modes": ([] if service.consistency
+                                   else ["img2img", "inpaint"]),
+                    # true = consistency student: sampler=cm (1-NFE) is the
+                    # only sampling route; ddim/dpmpp/edit are rejected
+                    "consistency": service.consistency,
                     # true = SR upsampler checkpoint: POST /upsample is the
                     # only sampling endpoint (it needs a low-res input)
                     "upsampler": bool(service.cond_channels),
@@ -623,14 +672,18 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
             q = {k: v[0] for k, v in parse_qs(url.query).items()}
             try:
                 n = max(1, min(int(q.get("n", 4)), 64))
-                steps = max(1, min(int(q.get("steps", 50)), 1000))
+                steps = max(1, min(
+                    int(q.get("steps", 1 if service.consistency else 50)),
+                    1000))
                 eta = float(q.get("eta", 0.0))
                 seed = int(q.get("seed", 0))
                 fmt = q.get("format", "png")
                 kind = q.get("schedule", "t_linear")
-                sampler = q.get("sampler", "ddim")
-                if sampler not in ("ddim", "dpmpp"):
-                    raise ValueError(f"sampler must be ddim|dpmpp, got {sampler}")
+                sampler = q.get("sampler",
+                                "cm" if service.consistency else "ddim")
+                if sampler not in ("ddim", "dpmpp", "cm"):
+                    raise ValueError(
+                        f"sampler must be ddim|dpmpp|cm, got {sampler}")
                 class_id = (int(q["class_id"]) if "class_id" in q else None)
                 guidance = float(q.get("guidance", 1.0))
             except ValueError as e:

@@ -55,9 +55,9 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 
-from ..ops.diffusion import ddim_step, model_output_to_eps, q_sample
-from ..ops.schedules import DiffusionSchedule, extract
-from .distill import student_x0
+from ..ops.diffusion import ddim_step, q_sample
+from ..ops.schedules import DiffusionSchedule
+from .distill import make_teacher_eps, student_x0
 from .ema import ema_update
 from .state import TrainConfig, TrainState, init_train_state, make_lr_schedule, make_optimizer
 from .step import _split_batch
@@ -69,6 +69,7 @@ __all__ = [
     "make_consistency_step",
     "consistency_distill",
     "consistency_sample_loop",
+    "_cm_from_init_jit",
 ]
 
 SIGMA_DATA = 0.5  # images live in [-1, 1]
@@ -168,23 +169,7 @@ def make_consistency_step(
 
     num_classes = int(getattr(getattr(model, "config", None), "num_classes", 0))
     lr_schedule = make_lr_schedule(cfg)
-    w = None if guidance is None else float(guidance)
-
-    def teacher_eps(tp, x, t, y):
-        if num_classes and y is not None and w is not None and w != 1.0:
-            xx = jnp.concatenate([x, x])
-            tt = jnp.concatenate([t, t])
-            yy = jnp.concatenate([y, jnp.full_like(y, num_classes)])
-            out = teacher_model.apply(tp, xx, tt, y=yy)
-            o_c, o_u = jnp.split(out, 2)
-            out = (o_u.astype(jnp.float32)
-                   + w * (o_c.astype(jnp.float32) - o_u.astype(jnp.float32))
-                   ).astype(x.dtype)
-        elif num_classes and y is not None:
-            out = teacher_model.apply(tp, x, t, y=y)
-        else:
-            out = teacher_model.apply(tp, x, t)
-        return model_output_to_eps(sched, out, x, t)
+    teacher_eps = make_teacher_eps(teacher_model, sched, num_classes, guidance)
 
     def loss_fn(params, target_params, teacher_params, batch, key):
         x0, y = _split_batch(batch, bool(num_classes))
@@ -323,4 +308,18 @@ def consistency_sample_loop(
         return (x, k), None
 
     (x, _), _ = jax.lax.scan(body, (x, k_loop), mids)
+    return jnp.clip(x, -1.0, 1.0)
+
+
+@functools.partial(jax.jit, static_argnames=("model",))
+def _cm_from_init_jit(model, params, sched, x_init, y=None):
+    """1-NFE consistency sampling from EXPLICIT init noise — the serving
+    coalescer's CM kernel.  Row i depends only on (x_init_i, y_i), so
+    coalescing stays per-request deterministic; matches
+    :func:`consistency_sample_loop` at ``steps=1`` exactly when ``x_init``
+    is the same draw (the service builds it from the request seed the same
+    way the loop does).  Guidance is baked into the student at distill
+    time, so there is no guidance argument by design."""
+    t0 = jnp.full((x_init.shape[0],), int(sched.T) - 1, dtype=jnp.int32)
+    x = consistency_fn(model, params, sched, x_init, t0, y=y)
     return jnp.clip(x, -1.0, 1.0)

@@ -64,9 +64,45 @@ __all__ = [
     "student_timesteps",
     "onestep_target",
     "student_x0",
+    "make_teacher_eps",
     "make_distill_step",
     "progressive_distill",
 ]
+
+
+def make_teacher_eps(
+    teacher_model,
+    sched: DiffusionSchedule,
+    num_classes: int,
+    guidance: Optional[float],
+) -> Callable[..., jnp.ndarray]:
+    """``(teacher_params, x, t, y) -> eps`` for a distillation teacher.
+
+    When ``guidance`` is set (and the model is conditional with labels), the
+    eps is the classifier-free combination ``e_u + w (e_c - e_u)`` computed
+    in one doubled forward — the Meng et al. 2023 stage-1 teacher that bakes
+    CFG into the student.  Shared by progressive (``make_distill_step``) and
+    consistency (``training/consistency.py``) distillation.
+    """
+    w = None if guidance is None else float(guidance)
+
+    def teacher_eps(tp, x, t, y):
+        if num_classes and y is not None and w is not None and w != 1.0:
+            xx = jnp.concatenate([x, x])
+            tt = jnp.concatenate([t, t])
+            yy = jnp.concatenate([y, jnp.full_like(y, num_classes)])
+            out = teacher_model.apply(tp, xx, tt, y=yy)
+            o_c, o_u = jnp.split(out, 2)
+            out = (o_u.astype(jnp.float32)
+                   + w * (o_c.astype(jnp.float32) - o_u.astype(jnp.float32))
+                   ).astype(x.dtype)
+        elif num_classes and y is not None:
+            out = teacher_model.apply(tp, x, t, y=y)
+        else:
+            out = teacher_model.apply(tp, x, t)
+        return model_output_to_eps(sched, out, x, t)
+
+    return teacher_eps
 
 
 def distill_ladder(T: int, num_student_steps: int) -> np.ndarray:
@@ -135,6 +171,11 @@ def student_x0(
         return a * z_t - s * out
     if kind == "epsilon":
         return (z_t - s * out) / (a + 1e-12)
+    if kind == "flow":
+        # u = eps - x0 and z_t = a x0 + s eps  =>  x0 = (z_t - s u)/(a + s);
+        # a + s >= 1 for any schedule, so no epsilon guard is needed
+        # (mirrors ops.diffusion.model_output_to_eps's flow branch)
+        return (z_t - s * out) / (a + s)
     raise ValueError(f"unknown prediction_type {kind!r}")
 
 
@@ -185,23 +226,7 @@ def make_distill_step(
 
     num_classes = int(getattr(getattr(model, "config", None), "num_classes", 0))
     lr_schedule = make_lr_schedule(cfg)
-    w = None if guidance is None else float(guidance)
-
-    def teacher_eps(tp, x, t, y):
-        if num_classes and y is not None and w is not None and w != 1.0:
-            xx = jnp.concatenate([x, x])
-            tt = jnp.concatenate([t, t])
-            yy = jnp.concatenate([y, jnp.full_like(y, num_classes)])
-            out = teacher_model.apply(tp, xx, tt, y=yy)
-            o_c, o_u = jnp.split(out, 2)
-            out = (o_u.astype(jnp.float32)
-                   + w * (o_c.astype(jnp.float32) - o_u.astype(jnp.float32))
-                   ).astype(x.dtype)
-        elif num_classes and y is not None:
-            out = teacher_model.apply(tp, x, t, y=y)
-        else:
-            out = teacher_model.apply(tp, x, t)
-        return model_output_to_eps(sched, out, x, t)
+    teacher_eps = make_teacher_eps(teacher_model, sched, num_classes, guidance)
 
     def loss_fn(params, teacher_params, batch, key: jax.Array) -> jnp.ndarray:
         x0, y = _split_batch(batch, bool(num_classes))

@@ -299,6 +299,13 @@ def test_cli_consistency_roundtrip(tmp_path, capsys):
         out = capsys.readouterr().out
         assert "[SAMPLE-CM]" in out and os.path.exists(png)
 
+    # a NON-consistency checkpoint must be rejected up front (its weights
+    # do not parameterize f_theta — sampling would silently emit garbage)
+    with pytest.raises(SystemExit, match="not a consistency student"):
+        main(["sample-cm", "--config", cfg_path, "--ckpt", last,
+              "--n", "4", "--steps", "1",
+              "--out", str(tmp_path / "never.png"), "--ema"])
+
 
 def test_perfect_consistency_zero_loss(sched, tiny):
     """If the student IS its own EMA target and the teacher step is the

@@ -141,9 +141,10 @@ def test_student_x0_inverts_prediction_target(sched_free):
     x0 = jax.random.uniform(k1, (4, RES, RES, 3), minval=-1, maxval=1)
     eps = jax.random.normal(k2, x0.shape)
     t = jnp.array([80, 50, 20, 5], jnp.int32)
-    for kind in ("epsilon", "v", "x0"):
+    for kind in ("epsilon", "v", "x0", "flow"):
+        kw = {"schedule": "rf", "clamp_x0": False} if kind == "flow" else {}
         s = make_schedule(DiffusionConfig(T=T, img_size=RES,
-                                          prediction_type=kind))
+                                          prediction_type=kind, **kw))
         z = q_sample(s, x0, t, eps)
         out = prediction_target(s, x0, t, eps)
         np.testing.assert_allclose(

@@ -671,3 +671,118 @@ def test_upsample_counts_in_metrics(sr_server, low_img01):
     assert code == 200
     m = json.loads(body)
     assert m["upsamples"] >= 1 and m["samples"] >= 1
+
+
+# ---------- consistency-student (1-NFE) serving ----------
+
+
+@pytest.fixture(scope="module")
+def cm_server():
+    """A service marked as holding a consistency student (distill
+    --mode consistency checkpoint meta); weights are arbitrary — these
+    tests pin ROUTING and the seed-determinism contract, not quality."""
+    cfg = UNetConfig(
+        base_channels=8, channel_mults=(1, 2), num_res_blocks=1,
+        attn_resolutions=(), time_embed_dim=16, num_heads=1, head_dim=8,
+        img_resolution=RES,
+    )
+    model = UNetDenoiser(cfg, dtype=jnp.float32)
+    sched = make_schedule(DiffusionConfig(T=20, img_size=RES))
+    params = model.init(jax.random.key(0), jnp.ones((1, RES, RES, 3)),
+                        jnp.zeros((1,)))
+    svc = SamplerService(model, params, sched, RES, use_mesh=False,
+                         consistency=True, cm_guidance=3.0)
+    srv = make_server(svc, "127.0.0.1", 0)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield (f"http://127.0.0.1:{srv.server_address[1]}",
+           model, params, sched, svc)
+    srv.shutdown()
+
+
+def test_cm_healthz_advertises(cm_server):
+    url = cm_server[0]
+    code, _ct, body = _get(url + "/healthz")
+    assert code == 200
+    h = json.loads(body)
+    assert h["consistency"] is True and h["edit_modes"] == []
+
+
+def test_cm_default_route_deterministic_and_matches_loop(cm_server):
+    """GET /sample on a consistency service defaults to sampler=cm steps=1,
+    is deterministic per seed, and reproduces consistency_sample_loop
+    (the CLI sample-cm path) bit-near-exactly."""
+    from ddpm_diffusion_model_tpu.training import consistency_sample_loop
+
+    url, model, params, sched, _svc = cm_server
+    code, ct, body = _get(url + "/sample?n=3&seed=9&format=npy")
+    assert code == 200 and ct == "application/octet-stream"
+    a = np.load(io.BytesIO(body))
+    assert a.shape == (3, RES, RES, 3)
+    _code, _ct, body2 = _get(url + "/sample?n=3&seed=9&format=npy")
+    np.testing.assert_array_equal(a, np.load(io.BytesIO(body2)))
+
+    ref = consistency_sample_loop(
+        model, params, sched, (3, RES, RES, 3), jax.random.key(9), steps=1)
+    np.testing.assert_allclose(a, np.asarray((ref + 1.0) * 0.5), atol=1e-5)
+
+
+def test_cm_rejections(cm_server):
+    """multistep, guidance, eps samplers and /edit are all 400s on a
+    consistency service; sampler=cm is a 400 on a plain service."""
+    url = cm_server[0]
+    for q in ("steps=2", "guidance=2.0", "sampler=ddim", "sampler=dpmpp"):
+        try:
+            _get(url + f"/sample?n=1&{q}")
+            raise AssertionError(f"expected 400 for {q}")
+        except urllib.error.HTTPError as e:
+            assert e.code == 400
+    img = np.full((RES, RES, 3), 0.5, np.float32)
+    try:
+        _post(url + "/edit", {"image": _png_b64(img), "n": 1})
+        raise AssertionError("expected 400 for /edit")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+    code, _ct, body = _get(url + "/metrics")
+    assert json.loads(body)["client_errors"] >= 5
+
+
+def test_plain_checkpoint_rejects_cm(server):
+    try:
+        _get(server + "/sample?n=1&steps=1&sampler=cm")
+        raise AssertionError("expected 400 for sampler=cm on plain ckpt")
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
+
+
+def test_cm_coalesces_and_counts(cm_server):
+    """Concurrent same-(sampler) cm requests coalesce into one device batch
+    and keep per-seed outputs identical to solo runs."""
+    url, _model, _params, _sched, svc = cm_server
+    before = svc.metrics()["coalesced_batches"]
+    solo = {}
+    for seed in (31, 32):
+        _c, _t, b = _get(url + f"/sample?n=2&seed={seed}&format=npy")
+        solo[seed] = np.load(io.BytesIO(b))
+    outs = {}
+    errs = []
+
+    def go(seed):
+        try:
+            _c, _t, b = _get(url + f"/sample?n=2&seed={seed}&format=npy")
+            outs[seed] = np.load(io.BytesIO(b))
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    ts = [threading.Thread(target=go, args=(s,)) for s in (31, 32)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join(timeout=120)
+    assert not errs
+    for seed in (31, 32):
+        # a coalesced batch is a DIFFERENT XLA program (batch 4 vs the solo
+        # padded 2), so fp-epsilon fusion differences are expected — the
+        # contract is per-seed determinism, not bit equality across shapes
+        np.testing.assert_allclose(outs[seed], solo[seed], atol=1e-5)
+    assert svc.metrics()["coalesced_batches"] >= before + 1
