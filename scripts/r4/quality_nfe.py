@@ -178,11 +178,12 @@ def main(argv=None):
             config=args.config, preset="celeba64_low", ckpt=args.cm_ckpt))
         cm_model, cm_sched, cm_state, _ = _load_state(args.cm_ckpt, cm_exp)
         for steps in (1, 2):
+            cm_jit = jax.jit(
+                lambda p, k, s=steps: consistency_sample_loop(
+                    cm_model, p, cm_sched, shape, k, steps=s, y=y))
             score_and_time(
                 f"cm{steps}_baked_w{w:g}",
-                lambda k, s=steps: consistency_sample_loop(
-                    cm_model, cm_state.ema_params, cm_sched, shape, k,
-                    steps=s, y=y),
+                lambda k, f=cm_jit: f(cm_state.ema_params, k),
                 steps, grid_name=f"nfe_cm{steps}.png")
 
     # reference-set sanity anchors for the rFID column
