@@ -59,6 +59,10 @@ def main(argv=None):
                     help="timed repetitions for the fast samplers")
     ap.add_argument("--grid-dir", default="docs/artifacts/r4")
     ap.add_argument("--out", default="/tmp/r4/nfe.jsonl")
+    ap.add_argument("--skip-base", action="store_true",
+                    help="score only the distilled students (re-runs)")
+    ap.add_argument("--tag", default="",
+                    help="suffix for sampler names/grids in re-runs")
     args = ap.parse_args(argv)
 
     import jax
@@ -134,29 +138,35 @@ def main(argv=None):
 
     w = float(args.guidance)
     base = state.ema_params
+    tag = args.tag
+    if args.skip_base:
+        base = None
     # every guided base-model step runs the doubled CFG forward: NFE = 2*steps
-    score_and_time(
+    if base is not None:
+        score_and_time(
         f"ddpm1000_w{w:g}",
         lambda k: _ddpm_jit(model, base, sched, k, shape, None, None,
                             y=y, guidance=w)[0],
-        2000, grid_name="nfe_ddpm1000.png", reps=1)
-    ts50 = tuple(int(t) for t in build_ddim_schedule("t_linear", 50, sched.T))
-    score_and_time(
-        f"ddim50_w{w:g}",
-        lambda k: _ddim_jit(model, base, sched, k, shape, ts50, 0.0, None,
-                            y=y, guidance=w)[0],
-        100, grid_name="nfe_ddim50.png")
-    ts20 = tuple(int(t) for t in build_ddim_schedule("t_linear", 20, sched.T))
-    score_and_time(
-        f"dpmpp20_w{w:g}",
-        lambda k: _dpmpp_jit(model, base, sched, k, shape, ts20,
-                             y=y, guidance=w),
-        40, grid_name="nfe_dpmpp20.png")
-    score_and_time(
-        f"sde_dpmpp20_w{w:g}",
-        lambda k: _dpmpp_jit(model, base, sched, k, shape, ts20,
-                             y=y, guidance=w, sde=True),
-        40, grid_name="nfe_sde_dpmpp20.png")
+            2000, grid_name="nfe_ddpm1000.png", reps=1)
+        ts50 = tuple(int(t) for t in
+                     build_ddim_schedule("t_linear", 50, sched.T))
+        score_and_time(
+            f"ddim50_w{w:g}",
+            lambda k: _ddim_jit(model, base, sched, k, shape, ts50, 0.0,
+                                None, y=y, guidance=w)[0],
+            100, grid_name="nfe_ddim50.png")
+        ts20 = tuple(int(t) for t in
+                     build_ddim_schedule("t_linear", 20, sched.T))
+        score_and_time(
+            f"dpmpp20_w{w:g}",
+            lambda k: _dpmpp_jit(model, base, sched, k, shape, ts20,
+                                 y=y, guidance=w),
+            40, grid_name="nfe_dpmpp20.png")
+        score_and_time(
+            f"sde_dpmpp20_w{w:g}",
+            lambda k: _dpmpp_jit(model, base, sched, k, shape, ts20,
+                                 y=y, guidance=w, sde=True),
+            40, grid_name="nfe_sde_dpmpp20.png")
 
     if args.pd_ckpt:
         pd_exp = _exp_from_args(argparse.Namespace(
@@ -168,10 +178,10 @@ def main(argv=None):
             "linear", steps, pd_sched.T))
         # guidance baked in at distillation: single forward per step
         score_and_time(
-            f"pd{steps}_baked_w{w:g}",
+            f"pd{steps}_baked_w{w:g}{tag}",
             lambda k: _ddim_jit(pd_model, pd_state.ema_params, pd_sched, k,
                                 shape, ts, 0.0, None, y=y, guidance=1.0)[0],
-            steps, grid_name=f"nfe_pd{steps}.png")
+            steps, grid_name=f"nfe_pd{steps}{tag}.png")
 
     if args.cm_ckpt:
         cm_exp = _exp_from_args(argparse.Namespace(
@@ -182,9 +192,9 @@ def main(argv=None):
                 lambda p, k, s=steps: consistency_sample_loop(
                     cm_model, p, cm_sched, shape, k, steps=s, y=y))
             score_and_time(
-                f"cm{steps}_baked_w{w:g}",
+                f"cm{steps}_baked_w{w:g}{tag}",
                 lambda k, f=cm_jit: f(cm_state.ema_params, k),
-                steps, grid_name=f"nfe_cm{steps}.png")
+                steps, grid_name=f"nfe_cm{steps}{tag}.png")
 
     # reference-set sanity anchors for the rFID column
     emit({"sampler": "REF_heldout_self", "rfid": round(float(
