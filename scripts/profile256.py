@@ -3,8 +3,11 @@
 VERDICT round-1 item 1: "Profile one hq256 step and commit the attributed
 breakdown to docs/BENCH.md".  The axon tunnel may not support device traces,
 so this measures by ABLATION: each component is timed as its own jitted
-program at its real shape (micro-batch 16, bf16), with tunnel-safe syncs
-(host fetches — block_until_ready can no-op over this transport).
+program at its real shape (micro-batch 16, bf16), synced by host fetches.
+(r4 correction: block_until_ready was PROVEN a real device sync on this
+transport — scripts/r4/sync_check.py, docs/BENCH.md "Sync methodology
+settled (r4)"; the host-fetch syncs here remain valid, just slightly
+conservative, and single fetches carry ~100 ms tunnel jitter.)
 
 Components timed:
   - full train step (micro 16 x accum 4)    <- the 569 ms baseline
