@@ -40,7 +40,15 @@ def ensure_extracted(zip_path: str, extract_dir: str) -> str:
 
     Completion is tracked with a sentinel file written AFTER extractall, so
     an interrupted extraction is retried instead of silently training on a
-    partial dataset."""
+    partial dataset.
+
+    A DIRECTORY ``zip_path`` is treated as an already-extracted corpus root
+    and returned as-is — without this, a directory argument was silently
+    IGNORED whenever ``extract_dir`` already carried a sentinel from some
+    other corpus (the r4 natface run trained on the wrong dataset that way).
+    """
+    if os.path.isdir(zip_path):
+        return zip_path
     os.makedirs(extract_dir, exist_ok=True)
     sentinel = os.path.join(extract_dir, ".extraction_complete")
     if os.path.exists(sentinel):

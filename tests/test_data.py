@@ -503,3 +503,27 @@ def test_device_cache_labeled_trains_conditional():
     state, avg_loss, n_batches, _ = train_one_epoch(
         step, state, loader, labeled=True)
     assert n_batches == 2 and np.isfinite(avg_loss)
+
+
+def test_zip_loader_accepts_directory_root(img_root, tmp_path):
+    """A DIRECTORY --zip-path is used as the corpus root directly — it must
+    NOT be shadowed by a stale sentinel in the default extract_dir (the r4
+    natface regression: the run silently trained on the wrong corpus)."""
+    # a decoy extract_dir that already carries a sentinel + an image
+    decoy = tmp_path / "decoy"
+    (decoy / "celeba").mkdir(parents=True)
+    from PIL import Image as _Image
+
+    _Image.new("RGB", (40, 40), (255, 0, 0)).save(
+        str(decoy / "celeba" / "decoy.jpg"))
+    (decoy / ".extraction_complete").write_text("x")
+
+    loader = get_celeba_loader_from_zip(
+        str(img_root), extract_dir=str(decoy), img_size=32, batch_size=4,
+        num_workers=2, crop=None,
+    )
+    assert len(loader.dataset) == len(
+        [f for _r, _d, fs in os.walk(img_root) for f in fs
+         if f.endswith((".jpg", ".png"))])  # incl. the corrupt-png entry
+    x, _y = next(iter(loader))
+    assert x.shape == (4, 32, 32, 3)
