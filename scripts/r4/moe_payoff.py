@@ -34,7 +34,7 @@ def main(argv=None):
                          "to steps * moe_step_time/dense_step_time for the "
                          "wall-clock-matched point)")
     ap.add_argument("--batch", type=int, default=128)
-    ap.add_argument("--corpus", type=int, default=12800)
+    ap.add_argument("--corpus", type=int, default=6400)
     ap.add_argument("--eval-n", type=int, default=512)
     ap.add_argument("--rfid-n", type=int, default=36)
     ap.add_argument("--out", default="/tmp/r4/moe_payoff.jsonl")
@@ -55,8 +55,8 @@ def main(argv=None):
 
     sched = make_schedule(DiffusionConfig(
         T=1000, schedule="linear", img_size=64, dynamic_threshold=0.95))
-    tcfg = TrainConfig(base_lr=2e-4, warmup_steps=1000, grad_accum_steps=1,
-                       ema_decay=0.9997)
+    tcfg = TrainConfig(base_lr=2e-4, warmup_steps=300, grad_accum_steps=1,
+                       ema_decay=0.999)
 
     print(f"[corpus] rendering {args.corpus} blobs ...", flush=True)
     corpus_np = blob_faces_array(args.corpus, 64, seed=0)
@@ -84,17 +84,20 @@ def main(argv=None):
         step_fn = make_train_step(model, sched, tx, tcfg)
 
         @jax.jit
-        def gather(key):
+        def gather(corp, key):
+            # corpus rides as an ARGUMENT — closing over it would bake
+            # 629 MB of constants into the HLO (the remote compiler
+            # rejects the body with HTTP 413)
             idx = jax.random.randint(key, (B,), 0, N)
-            return jnp.take(corpus, idx, axis=0)
+            return jnp.take(corp, idx, axis=0)
 
         # compile both programs before the timed region
-        state, m = step_fn(state, gather(jax.random.key(1)))
+        state, m = step_fn(state, gather(corpus, jax.random.key(1)))
         float(jax.device_get(m["loss"]))
         t0 = time.perf_counter()
         losses = []
         for s in range(steps):
-            state, m = step_fn(state, gather(jax.random.key(1000 + s)))
+            state, m = step_fn(state, gather(corpus, jax.random.key(1000 + s)))
             if (s + 1) % max(1, steps // 8) == 0:
                 losses.append((s + 1, float(jax.device_get(m["loss"]))))
                 print(f"[{name}] step {s+1}/{steps} "
