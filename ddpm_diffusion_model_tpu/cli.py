@@ -236,11 +236,40 @@ def _make_loader(args, exp, with_eval=False, mesh=None):
             raise SystemExit("error: --data zip requires --zip-path <file.zip>")
         if not os.path.exists(args.zip_path):
             raise SystemExit(f"error: zip not found: {args.zip_path}")
-        return _maybe_device_cache(get_celeba_loader_from_zip(
+        zl = get_celeba_loader_from_zip(
             args.zip_path, img_size=exp.img_size, batch_size=exp.batch_size,
             seed=exp.seed,
             crop=None if getattr(args, "no_crop", False) else 178,
-        )), None
+        )
+        vf = float(getattr(args, "val_frac", 0.0) or 0.0)
+        if vf > 0.0:
+            # the zip source has no official partition: hold out a seeded
+            # fraction so val loss / rFID score generalization, not recall.
+            # The same --val-frac/seed in distill/eval reproduces the split,
+            # so students never train on evaluation faces either.
+            from .data import DeviceCacheLoader, materialize_corpus
+
+            arr = materialize_corpus(zl, progress=True)
+            n_val = max(1, min(len(arr) - 1, int(round(len(arr) * vf))))
+            perm = np.random.default_rng(exp.seed).permutation(len(arr))
+            va_arr, tr_arr = arr[perm[:n_val]], arr[perm[n_val:]]
+            print(f"[SPLIT] zip corpus {len(arr)} -> train {len(tr_arr)} / "
+                  f"val {n_val} (seed {exp.seed})")
+            vbs = min(exp.batch_size, n_val)
+            if device_cache:
+                train = DeviceCacheLoader(tr_arr, exp.batch_size,
+                                          seed=exp.seed, **cache_kw)
+                val = (DeviceCacheLoader(va_arr, vbs, shuffle=False,
+                                         drop_last=False, quantize=True)
+                       if with_eval else None)
+            else:
+                train = DataLoader(ArrayDataset(tr_arr), exp.batch_size,
+                                   seed=exp.seed, shuffle=True)
+                val = (DataLoader(ArrayDataset(va_arr), vbs, shuffle=False,
+                                  drop_last=False)
+                       if with_eval else None)
+            return train, val
+        return _maybe_device_cache(zl), None
     if args.data == "hf":
         return _maybe_device_cache(build_hf_image_loader(
             img_size=exp.img_size, batch_size=exp.batch_size, seed=exp.seed
@@ -741,7 +770,12 @@ def cmd_distill(args):
         extra={"distilled_steps": info["steps"],
                "distill_mode": args.mode,
                "distill_guidance": args.guidance,
-               "distill_phases": info["phases"]},
+               "distill_phases": info["phases"],
+               # CM parameterization scalings (consistency mode): sample-cm
+               # and serving must reproduce the distilled f_theta exactly
+               **({"cm_sigma_data": info["sigma_data"],
+                   "cm_timestep_scaling": info["timestep_scaling"]}
+                  if args.mode == "consistency" else {})},
         configs={"experiment": exp.to_dict()})
     print(json.dumps({"out": path, "mode": args.mode, "steps": info["steps"],
                       "phases": info["phases"]}))
@@ -793,22 +827,29 @@ def cmd_sample_cm(args):
     y = None
     if nc:
         if cls is None:
-            if extra.get("distill_guidance") is not None:
-                # the CD loss only ever supervised real labels — the
-                # guidance-baked student's null-class pathway is untrained
-                print("[SAMPLE-CM] warning: guidance is baked into this "
-                      "student from labeled teaching only; unconditional "
-                      "(no --class-id) output is untrained and may be "
-                      "degraded — pass --class-id K or 'all'")
+            # the CD loss supervises only REAL labels in every mode (with
+            # or without --guidance) — a conditional student's null-class
+            # pathway is always untrained
+            print("[SAMPLE-CM] warning: conditional consistency student — "
+                  "unconditional (no --class-id) output rides the untrained "
+                  "NULL class and may be degraded; pass --class-id K or "
+                  "'all'")
             y = jnp.full((args.n,), nc, jnp.int32)  # the null (uncond) class
         elif np.ndim(cls) == 0:
             y = jnp.full((args.n,), int(cls), jnp.int32)
         else:
             y = jnp.asarray(cls, jnp.int32)
 
+    # reproduce the f_theta parameterization the student was distilled with
+    # (module defaults for pre-knob checkpoints without the extra fields)
+    from .training.consistency import SIGMA_DATA, TIMESTEP_SCALING
+
     x = consistency_sample_loop(
         model, params, sched, (args.n, exp.img_size, exp.img_size, 3),
-        jax.random.key(args.seed), steps=args.steps, y=y)
+        jax.random.key(args.seed), steps=args.steps, y=y,
+        sigma_data=float(extra.get("cm_sigma_data", SIGMA_DATA)),
+        timestep_scaling=float(extra.get("cm_timestep_scaling",
+                                         TIMESTEP_SCALING)))
     x01 = np.asarray((x + 1.0) * 0.5)
     save_image_grid(x01, args.out, nrow=int(args.n ** 0.5))
     print(f"[SAMPLE-CM] grid -> {args.out} (steps={args.steps}, NFE="
@@ -1140,6 +1181,10 @@ def main(argv=None):
     sp.add_argument("--eval-every", type=int, default=0, metavar="N",
                     help="validation loss (raw+EMA) every N epochs (0=off)")
     sp.add_argument("--eval-max-batches", type=int)
+    sp.add_argument("--val-frac", type=float, default=0.0, metavar="F",
+                    help="with --data zip and --eval-every: hold out this "
+                         "seeded fraction of the corpus as the validation "
+                         "split (the zip source has no official partition)")
     sp.add_argument("--fid-extractor", metavar="WEIGHTS",
                     help="mounted feature-extractor file (TorchScript module "
                          "or inception_v3 state_dict): score TRUE FID next "
@@ -1280,6 +1325,10 @@ def main(argv=None):
     sp.add_argument("--synthetic-size", type=int, default=512)
     sp.add_argument("--preload", action="store_true")
     sp.add_argument("--device-cache", action="store_true")
+    sp.add_argument("--val-frac", type=float, default=0.0, metavar="F",
+                    help="with --data zip: exclude the same seeded held-out "
+                         "fraction the train run held out, so the student "
+                         "never sees evaluation faces")
     sp.add_argument("--start-steps", type=int, default=64,
                     help="the teacher's DDIM step count (the first student "
                          "learns start-steps/2)")

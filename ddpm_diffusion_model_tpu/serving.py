@@ -43,7 +43,9 @@ class SamplerService:
 
     def __init__(self, model, params, sched, img_size: int, use_ema_params=None,
                  use_mesh: bool = True, consistency: bool = False,
-                 cm_guidance: Optional[float] = None):
+                 cm_guidance: Optional[float] = None,
+                 cm_sigma_data: Optional[float] = None,
+                 cm_timestep_scaling: Optional[float] = None):
         import time
 
         import jax
@@ -58,6 +60,18 @@ class SamplerService:
         # would emit garbage; conversely plain checkpoints reject sampler=cm.
         self.consistency = bool(consistency)
         self.cm_guidance = cm_guidance  # baked-in CFG scale (meta), if any
+        # CM parameterization scalings: serve with the values the student
+        # was DISTILLED with (recorded in checkpoint extra; pre-knob
+        # checkpoints mean the module defaults) — hard-coding defaults here
+        # would silently diverge from the CLI sample-cm path for any
+        # non-default student
+        from .training.consistency import SIGMA_DATA, TIMESTEP_SCALING
+
+        self.cm_sigma_data = float(
+            SIGMA_DATA if cm_sigma_data is None else cm_sigma_data)
+        self.cm_timestep_scaling = float(
+            TIMESTEP_SCALING if cm_timestep_scaling is None
+            else cm_timestep_scaling)
         # mesh-aware serving: with >1 visible device, replicate the params
         # over a ('data',) mesh once and shard each coalesced eta=0 batch's
         # init noise over it — the SAME jitted scan becomes SPMD (GSPMD
@@ -81,7 +95,8 @@ class SamplerService:
         self._t_start = time.time()
         self._stats = {"requests": 0, "samples": 0, "errors": 0,
                        "client_errors": 0, "edits": 0, "upsamples": 0,
-                       "coalesced_batches": 0, "sharded_batches": 0}
+                       "coalesced_batches": 0, "multi_request_batches": 0,
+                       "batch_size_hist": {}, "sharded_batches": 0}
         # SR upsampler checkpoints (cond_channels > 0) serve /upsample ONLY:
         # their forward requires x_cond, which /sample and /edit cannot build
         self.cond_channels = int(
@@ -110,6 +125,7 @@ class SamplerService:
         with self._stats_lock:
             lats = list(self._latencies)
             stats = dict(self._stats)
+            stats["batch_size_hist"] = dict(stats["batch_size_hist"])
         import jax
 
         out = {
@@ -153,6 +169,8 @@ class SamplerService:
             use_mesh=use_mesh,
             consistency=extra.get("distill_mode") == "consistency",
             cm_guidance=extra.get("distill_guidance"),
+            cm_sigma_data=extra.get("cm_sigma_data"),
+            cm_timestep_scaling=extra.get("cm_timestep_scaling"),
         )
 
     # shape/ladder are static jit arguments: every distinct (n, steps) pair
@@ -246,6 +264,11 @@ class SamplerService:
                     f"class_id {class_id} out of range [0, {num_classes})")
         if sampler in ("dpmpp", "cm"):
             eta = 0.0  # deterministic samplers; always coalescible
+        if sampler == "cm":
+            # the CM kernel ignores the DDIM ladder entirely — canonicalize
+            # the queue key so identical 1-NFE requests differing only in
+            # schedule= coalesce instead of landing in separate queues
+            schedule_kind = "t_linear"
         n = max(1, min(int(n), self.MAX_N))
         steps = min(self.STEP_CHOICES, key=lambda s: abs(s - int(steps)))
         used = {"n": int(n), "steps": int(steps), "eta": float(eta),
@@ -254,6 +277,13 @@ class SamplerService:
         if num_classes:
             used["class_id"] = None if class_id is None else int(class_id)
             used["guidance"] = float(guidance)
+        if sampler == "cm" and num_classes and class_id is None:
+            # CD supervises only real labels (training/consistency.py); the
+            # NULL-token pathway this request rides on is untrained
+            used["warning"] = (
+                "conditional consistency student, no class_id: output uses "
+                "the untrained NULL class and may be degraded — pass "
+                "class_id")
         # per-sample label: requests without a class ride as the NULL token
         label = (None if not num_classes
                  else (num_classes if class_id is None else int(class_id)))
@@ -567,15 +597,19 @@ class SamplerService:
             from .training.consistency import _cm_from_init_jit
 
             def kernel(model, params, sched, x_init, ts, y=None, guidance=1.0):
-                return _cm_from_init_jit(model, params, sched, x_init, y=y)
+                return _cm_from_init_jit(
+                    model, params, sched, x_init, y=y,
+                    sigma_data=self.cm_sigma_data,
+                    timestep_scaling=self.cm_timestep_scaling)
+
+            ts = ()  # the CM kernel takes no ladder
         else:
             kernel = (_dpmpp_from_init_jit if sampler == "dpmpp"
                       else _ddim_from_init_jit)
-
-        ts = tuple(int(t) for t in build_ddim_schedule(
-            schedule_kind, steps, self.sched.T,
-            alphas_cumprod=np.asarray(self.sched.alphas_cumprod),
-        ))
+            ts = tuple(int(t) for t in build_ddim_schedule(
+                schedule_kind, steps, self.sched.T,
+                alphas_cumprod=np.asarray(self.sched.alphas_cumprod),
+            ))
         H, C = self.img_size, self.model.config.in_channels
         sizes = [r["n"] for r in batch]
         total = sum(sizes)
@@ -616,6 +650,13 @@ class SamplerService:
         x01 = np.asarray(to_unit_interval(x[:total]))
         with self._stats_lock:
             self._stats["coalesced_batches"] += 1
+            if len(batch) >= 2:
+                # batches that actually merged >1 request — the counter a
+                # loss-of-coalescing regression cannot fake (single-request
+                # batches bump coalesced_batches too)
+                self._stats["multi_request_batches"] += 1
+            hist = self._stats["batch_size_hist"]
+            hist[str(len(batch))] = hist.get(str(len(batch)), 0) + 1
             if self.mesh is not None:
                 self._stats["sharded_batches"] += 1
         outs, off = [], 0
@@ -658,6 +699,14 @@ def make_server(service: SamplerService, host: str = "127.0.0.1", port: int = 80
                     # true = consistency student: sampler=cm (1-NFE) is the
                     # only sampling route; ddim/dpmpp/edit are rejected
                     "consistency": service.consistency,
+                    # conditional CM students: CD never trains the NULL
+                    # token, so requests without class_id are degraded
+                    **({"consistency_caveat":
+                        "conditional student; requests without class_id "
+                        "use the untrained NULL class"}
+                       if service.consistency
+                       and int(getattr(service.model.config,
+                                       "num_classes", 0)) else {}),
                     # true = SR upsampler checkpoint: POST /upsample is the
                     # only sampling endpoint (it needs a low-res input)
                     "upsampler": bool(service.cond_channels),

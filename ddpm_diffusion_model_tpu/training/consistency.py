@@ -150,6 +150,8 @@ def make_consistency_step(
     guidance: Optional[float] = None,
     distance: str = "pseudo_huber",
     teacher_model=None,
+    sigma_data: float = SIGMA_DATA,
+    timestep_scaling: float = TIMESTEP_SCALING,
 ) -> Callable[[TrainState, Any, Any], Tuple[TrainState, Dict[str, jnp.ndarray]]]:
     """Build the jitted CD step: ``(state, teacher_params, batch) ->
     (state, metrics)``.
@@ -188,8 +190,12 @@ def make_consistency_step(
             ddim_step(sched, efn, z_t, t, tn, zero, eta=0.0))
 
         target = jax.lax.stop_gradient(
-            consistency_fn(model, target_params, sched, z_prev, tn, y=y))
-        pred = consistency_fn(model, params, sched, z_t, t, y=y)
+            consistency_fn(model, target_params, sched, z_prev, tn, y=y,
+                           sigma_data=sigma_data,
+                           timestep_scaling=timestep_scaling))
+        pred = consistency_fn(model, params, sched, z_t, t, y=y,
+                              sigma_data=sigma_data,
+                              timestep_scaling=timestep_scaling)
         return jnp.mean(_distance(pred, target, distance))
 
     @functools.partial(jax.jit, donate_argnums=(0,))
@@ -231,6 +237,8 @@ def consistency_distill(
     seed: int = 0,
     use_ema: bool = True,
     log: Optional[Callable[[str], None]] = print,
+    sigma_data: float = SIGMA_DATA,
+    timestep_scaling: float = TIMESTEP_SCALING,
 ) -> Tuple[Any, Dict[str, Any]]:
     """One-phase CD: the teacher's eta=0 DDIM solver over an
     ``num_ladder_steps``-segment ladder supervises the student; returns the
@@ -241,7 +249,8 @@ def consistency_distill(
     tx = make_optimizer(cfg)
     state, _ = init_train_state(teacher, cfg, seed=seed, tx=tx)
     step = make_consistency_step(
-        model, sched, ladder, tx, cfg, guidance=guidance, distance=distance)
+        model, sched, ladder, tx, cfg, guidance=guidance, distance=distance,
+        sigma_data=sigma_data, timestep_scaling=timestep_scaling)
     losses = []
     it = iter(make_batches())
     for u in range(int(updates)):
@@ -259,6 +268,10 @@ def consistency_distill(
     info = {
         "steps": 1,  # a consistency model samples at ANY NFE, 1 up
         "ladder_steps": int(num_ladder_steps),
+        # the f_theta parameterization the student was trained under —
+        # recorded in checkpoint extra so sample-cm/serving reproduce it
+        "sigma_data": float(sigma_data),
+        "timestep_scaling": float(timestep_scaling),
         "phases": [{
             "student_steps": 1,
             "updates": int(updates),
@@ -311,8 +324,12 @@ def consistency_sample_loop(
     return jnp.clip(x, -1.0, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("model",))
-def _cm_from_init_jit(model, params, sched, x_init, y=None):
+@functools.partial(jax.jit,
+                   static_argnames=("model", "sigma_data",
+                                    "timestep_scaling"))
+def _cm_from_init_jit(model, params, sched, x_init, y=None,
+                      sigma_data: float = SIGMA_DATA,
+                      timestep_scaling: float = TIMESTEP_SCALING):
     """1-NFE consistency sampling from EXPLICIT init noise — the serving
     coalescer's CM kernel.  Row i depends only on (x_init_i, y_i), so
     coalescing stays per-request deterministic; matches
@@ -321,5 +338,7 @@ def _cm_from_init_jit(model, params, sched, x_init, y=None):
     way the loop does).  Guidance is baked into the student at distill
     time, so there is no guidance argument by design."""
     t0 = jnp.full((x_init.shape[0],), int(sched.T) - 1, dtype=jnp.int32)
-    x = consistency_fn(model, params, sched, x_init, t0, y=y)
+    x = consistency_fn(model, params, sched, x_init, t0, y=y,
+                       sigma_data=sigma_data,
+                       timestep_scaling=timestep_scaling)
     return jnp.clip(x, -1.0, 1.0)

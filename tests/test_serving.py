@@ -756,33 +756,50 @@ def test_plain_checkpoint_rejects_cm(server):
 
 
 def test_cm_coalesces_and_counts(cm_server):
-    """Concurrent same-(sampler) cm requests coalesce into one device batch
-    and keep per-seed outputs identical to solo runs."""
+    """Concurrent same-(sampler) cm requests coalesce into ONE device batch
+    and keep per-seed outputs identical to solo runs.
+
+    Asserts on ``multi_request_batches`` — the counter that only moves when
+    a batch actually merged >= 2 requests (``coalesced_batches`` bumps on
+    single-request batches too, so it cannot detect loss of coalescing).
+    The two concurrent requests deliberately use DIFFERENT ``schedule=``
+    values: the CM kernel ignores the ladder, so the service normalizes the
+    queue key and they must still coalesce."""
     url, _model, _params, _sched, svc = cm_server
-    before = svc.metrics()["coalesced_batches"]
     solo = {}
     for seed in (31, 32):
         _c, _t, b = _get(url + f"/sample?n=2&seed={seed}&format=npy")
         solo[seed] = np.load(io.BytesIO(b))
-    outs = {}
-    errs = []
 
-    def go(seed):
-        try:
-            _c, _t, b = _get(url + f"/sample?n=2&seed={seed}&format=npy")
-            outs[seed] = np.load(io.BytesIO(b))
-        except Exception as e:  # noqa: BLE001
-            errs.append(e)
+    schedules = {31: "t_linear", 32: "cosine"}
+    merged = False
+    for _attempt in range(8):  # the 5 ms window is a race; retry until hit
+        before = svc.metrics()["multi_request_batches"]
+        outs = {}
+        errs = []
 
-    ts = [threading.Thread(target=go, args=(s,)) for s in (31, 32)]
-    for t in ts:
-        t.start()
-    for t in ts:
-        t.join(timeout=120)
-    assert not errs
-    for seed in (31, 32):
-        # a coalesced batch is a DIFFERENT XLA program (batch 4 vs the solo
-        # padded 2), so fp-epsilon fusion differences are expected — the
-        # contract is per-seed determinism, not bit equality across shapes
-        np.testing.assert_allclose(outs[seed], solo[seed], atol=1e-5)
-    assert svc.metrics()["coalesced_batches"] >= before + 1
+        def go(seed):
+            try:
+                _c, _t, b = _get(url + f"/sample?n=2&seed={seed}"
+                                 f"&schedule={schedules[seed]}&format=npy")
+                outs[seed] = np.load(io.BytesIO(b))
+            except Exception as e:  # noqa: BLE001
+                errs.append(e)
+
+        ts = [threading.Thread(target=go, args=(s,)) for s in (31, 32)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=120)
+        assert not errs
+        for seed in (31, 32):
+            # a coalesced batch is a DIFFERENT XLA program (batch 4 vs the
+            # solo padded 2), so fp-epsilon fusion differences are expected
+            # — the contract is per-seed determinism, not bit equality
+            np.testing.assert_allclose(outs[seed], solo[seed], atol=1e-5)
+        if svc.metrics()["multi_request_batches"] == before + 1:
+            merged = True
+            break
+    assert merged, "two concurrent CM requests never merged into one batch"
+    assert any(int(k) >= 2 for k in
+               svc.metrics()["batch_size_hist"])  # histogram saw the merge
