@@ -81,3 +81,34 @@ def _release_compiled_executables():
     import jax
 
     jax.clear_caches()
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: >=20s on the 1-core reference host (tests/slow_tests.txt); "
+        "deselected by default via addopts, run the FULL suite with: "
+        "python -m pytest tests/ -q -m ''")
+
+
+def pytest_collection_modifyitems(config, items):
+    """Two-tier suite: tests listed in tests/slow_tests.txt get the ``slow``
+    marker (default addopts deselect them -> ~24 min fast tier on this
+    host; ``-m ''`` runs everything, ~67 min).  The manifest is generated
+    from measured call durations, so re-tiering after a perf change is:
+
+        python -m pytest tests/ -q -m '' --durations=0 > /tmp/suite.log
+        grep -E '^[0-9.]+s call' /tmp/suite.log | \
+          awk '$1+0>=20 {print $3}' | sort > tests/slow_tests.txt
+    """
+    manifest = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+    if not os.path.exists(manifest):
+        return
+    with open(manifest) as f:
+        slow_ids = {ln.strip() for ln in f if ln.strip()}
+    marker = pytest.mark.slow
+    for item in items:
+        # nodeid is repo-relative (tests/test_x.py::test_y[param])
+        base = item.nodeid.split("[", 1)[0]
+        if item.nodeid in slow_ids or base in slow_ids:
+            item.add_marker(marker)
