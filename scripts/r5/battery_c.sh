@@ -1,12 +1,11 @@
 #!/bin/bash
-# Round-5 battery C (VERDICT #6 + #7 + #9 + #5):
-#   C1  latent family on natural faces: VAE on the 888-face corpus ->
-#       latent denoiser -> decoded grid (hardware quality artifact)
-#   C2  flow-matching natface run (rf schedule, velocity target) -> grid
-#   C3  CM-1 gap: 12k-update CD student from the cfg6 blobs teacher,
-#       rescored against the r4b table
-#   C4  loop-vs-direct audit for every family
-#   C5  serving under load (8/32 concurrent clients; ddim/dpmpp/cm routes)
+# Round-5 battery C (VERDICT #9 + #5 + #6 + #7), ordered so the cheapest
+# broadly-demanded evidence lands first if the round runs out of wall:
+#   C1  loop-vs-direct audit (attn / dit / moe families, one process)
+#   C2  serving under load (8/32 concurrent clients; ddim/dpmpp/cm routes)
+#   C3  flow-matching natface run + grid (hardware artifact for the family)
+#   C4  latent family on natural faces: VAE -> latent denoiser -> decoded grid
+#   C5  CM-1 gap: 12k-update CD student from the cfg6 blobs teacher, rescored
 set -u
 cd /root/repo
 mkdir -p /tmp/r5/logs docs/artifacts/r5
@@ -18,24 +17,13 @@ stage() {
   echo "=== $(date +%T) stage $name rc=$? ==="
 }
 
-# C1a: KL-VAE on the natural faces
-stage natvae 5400 python -m ddpm_diffusion_model_tpu.cli train-vae \
-  --out /tmp/r5/natvae --data zip --zip-path data/celeba_ref64 --no-crop \
-  --img-size 64 --batch-size 64 --epochs 300 --latent-channels 4 \
-  --channel-mults 1,2,2
+stage loop_audit 5400 python scripts/r5/loop_audit.py --steps 30 \
+  --families attn,dit,moe --out /tmp/r5/loop_audit.jsonl
 
-# C1b: latent denoiser on the VAE's latents
-stage natlat 5400 python -m ddpm_diffusion_model_tpu.cli train \
-  --config scripts/r5/natlat.json --data zip --zip-path data/celeba_ref64 \
-  --no-crop --latent-vae /tmp/r5/natvae --ckpt-dir /tmp/r5/ck --no-samples
+stage serving_load 7200 python scripts/r5/serving_load.py \
+  --ckpt /tmp/r4/ck/cfg6_v_last --config scripts/r4/cfg6_v.json \
+  --cm-ckpt /tmp/r4/cm6k --out /tmp/r5/serving_load.jsonl
 
-# C1c: decoded grid through the VAE
-stage natlat_grid 2400 python -m ddpm_diffusion_model_tpu.cli sample-ddim \
-  --config scripts/r5/natlat.json --ckpt /tmp/r5/ck/natlat_last --ema \
-  --vae /tmp/r5/natvae --n 36 --steps 50 \
-  --out docs/artifacts/r5/natface_latent_grid.png
-
-# C2: flow matching on natural faces
 stage natflow 5400 python -m ddpm_diffusion_model_tpu.cli train \
   --config scripts/r5/natflow64.json --data zip \
   --zip-path data/celeba_ref64 --no-crop --device-cache \
@@ -44,8 +32,19 @@ stage natflow_grid 2400 python -m ddpm_diffusion_model_tpu.cli sample-ddim \
   --config scripts/r5/natflow64.json --ckpt /tmp/r5/ck/natflow64_last --ema \
   --n 36 --steps 50 --out docs/artifacts/r5/natface_flow_grid.png
 
-# C3: longer CD schedule on the cfg6 blobs teacher (r4's was 6k updates)
-stage cm12k 7200 python -m ddpm_diffusion_model_tpu.cli distill \
+stage natvae 5400 python -m ddpm_diffusion_model_tpu.cli train-vae \
+  --out /tmp/r5/natvae --data zip --zip-path data/celeba_ref64 --no-crop \
+  --img-size 64 --batch-size 64 --epochs 300 --latent-channels 4 \
+  --channel-mults 1,2,2
+stage natlat 5400 python -m ddpm_diffusion_model_tpu.cli train \
+  --config scripts/r5/natlat.json --data zip --zip-path data/celeba_ref64 \
+  --no-crop --latent-vae /tmp/r5/natvae --ckpt-dir /tmp/r5/ck --no-samples
+stage natlat_grid 2400 python -m ddpm_diffusion_model_tpu.cli sample-ddim \
+  --config scripts/r5/natlat.json --ckpt /tmp/r5/ck/natlat_last --ema \
+  --vae /tmp/r5/natvae --n 36 --steps 50 \
+  --out docs/artifacts/r5/natface_latent_grid.png
+
+stage cm12k 9000 python -m ddpm_diffusion_model_tpu.cli distill \
   --config scripts/r4/cfg6_v.json --ckpt /tmp/r4/ck/cfg6_v_last --ema \
   --mode consistency --out /tmp/r5/cm12k --data blobs --synthetic-size 2000 \
   --device-cache --ladder-steps 32 --phase-updates 12000 --guidance 3
@@ -53,14 +52,5 @@ stage cm12k_score 5400 python scripts/r4/quality_nfe.py \
   --ckpt /tmp/r4/ck/cfg6_v_last --config scripts/r4/cfg6_v.json \
   --cm-ckpt /tmp/r5/cm12k --skip-base --tag _12k \
   --grid-dir docs/artifacts/r5 --out /tmp/r5/nfe12k.jsonl
-
-# C4: loop-vs-direct per family
-stage loop_audit 7200 python scripts/r5/loop_audit.py --steps 30 \
-  --families low,attn,dit,moe,latent --out /tmp/r5/loop_audit.jsonl
-
-# C5: serving under load
-stage serving_load 7200 python scripts/r5/serving_load.py \
-  --ckpt /tmp/r4/ck/cfg6_v_last --config scripts/r4/cfg6_v.json \
-  --cm-ckpt /tmp/r4/cm6k --out /tmp/r5/serving_load.jsonl
 
 echo "=== battery C done $(date +%T) ==="
