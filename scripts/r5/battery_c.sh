@@ -53,4 +53,12 @@ stage cm12k_score 5400 python scripts/r4/quality_nfe.py \
   --cm-ckpt /tmp/r5/cm12k --skip-base --tag _12k \
   --grid-dir docs/artifacts/r5 --out /tmp/r5/nfe12k.jsonl
 
-echo "=== battery C done $(date +%T) ==="
+: # moved below
+#echo "=== battery C done $(date +%T) ==="
+
+# C6 (retry): the direct-256px grid that died behind the wedged tunnel in
+# battery B
+stage hq256_grid2 2400 python -m ddpm_diffusion_model_tpu.cli sample-ddim \
+  --config scripts/r5/hq256nat.json --ckpt /tmp/r5/ck/hq256nat_last --ema \
+  --n 16 --steps 50 --out docs/artifacts/r5/natface256_direct.png
+echo "=== battery C+ done $(date +%T) ==="

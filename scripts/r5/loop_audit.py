@@ -38,7 +38,9 @@ def build(family):
             "dit": "celeba64_dit_s4", "moe": "celeba64_dit_moe",
             "latent": "celeba64_latent", "hq256": "celebahq256"}[family]
     exp = get_preset(name)
-    remat = exp.remat or family == "moe"
+    # dit/moe need block remat at batch 128 (docs/BENCH.md r3c: no-remat
+    # OOMs — 16.8G > 15.75G saving the fp32 SDPA probs)
+    remat = exp.remat or family in ("dit", "moe")
     model = build_denoiser(exp.model, dtype=jnp.bfloat16, remat=remat)
     sched = make_schedule(exp.diffusion)
     ch = int(getattr(exp.model, "in_channels", 3))
